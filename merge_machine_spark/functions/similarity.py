@@ -1,0 +1,118 @@
+"""Pair-level string-similarity functions.
+
+These replace Lucene BM25 as the pair score (SURVEY.md §2.8 additions,
+north rule: "Jaro-Winkler, Levenshtein, and token-set TF-IDF cosine").
+Built-ins where Spark has them (levenshtein); Arrow-batched pandas UDFs
+otherwise — never row-at-a-time Python UDFs.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql.types import DoubleType
+
+
+def levenshtein_norm(a: Column | str, b: Column | str) -> Column:
+    """1 - edit_distance/max_len in [0,1]; built-in, JVM-side."""
+    ca = F.coalesce(F.col(a) if isinstance(a, str) else a, F.lit(""))
+    cb = F.coalesce(F.col(b) if isinstance(b, str) else b, F.lit(""))
+    denom = F.greatest(F.length(ca), F.length(cb), F.lit(1))
+    return F.lit(1.0) - F.levenshtein(ca, cb).cast("double") / denom.cast("double")
+
+
+def _jaro(s1: str, s2: str) -> float:
+    if s1 == s2:
+        return 1.0
+    len1, len2 = len(s1), len(s2)
+    if len1 == 0 or len2 == 0:
+        return 0.0
+    match_window = max(len1, len2) // 2 - 1
+    if match_window < 0:
+        match_window = 0
+    m1 = [False] * len1
+    m2 = [False] * len2
+    matches = 0
+    for i, c in enumerate(s1):
+        lo = max(0, i - match_window)
+        hi = min(len2, i + match_window + 1)
+        for j in range(lo, hi):
+            if not m2[j] and s2[j] == c:
+                m1[i] = m2[j] = True
+                matches += 1
+                break
+    if matches == 0:
+        return 0.0
+    t = 0
+    j = 0
+    for i in range(len1):
+        if m1[i]:
+            while not m2[j]:
+                j += 1
+            if s1[i] != s2[j]:
+                t += 1
+            j += 1
+    t //= 2
+    return (matches / len1 + matches / len2 + (matches - t) / matches) / 3.0
+
+
+def jaro_winkler_py(s1: str, s2: str, prefix_scale: float = 0.1, boost_threshold: float = 0.7) -> float:
+    """Classic Jaro-Winkler (prefix bonus <=4 chars, applied above the 0.7
+    boost threshold) — semantics match DuckDB's ``jaro_winkler_similarity``
+    so the DuckDB oracle can cross-check the Spark UDF bit-for-bit."""
+    s1 = s1 or ""
+    s2 = s2 or ""
+    j = _jaro(s1, s2)
+    if j > boost_threshold:
+        prefix = 0
+        for a, b in zip(s1[:4], s2[:4]):
+            if a == b:
+                prefix += 1
+            else:
+                break
+        j += prefix * prefix_scale * (1.0 - j)
+    return j
+
+
+@F.pandas_udf(DoubleType())
+def jaro_winkler_udf(a: pd.Series, b: pd.Series) -> pd.Series:  # pragma: no cover - exercised via Spark
+    a = a.fillna("")
+    b = b.fillna("")
+    return pd.Series([jaro_winkler_py(x, y) for x, y in zip(a, b)], dtype="float64")
+
+
+def jaro_winkler(a: Column | str, b: Column | str) -> Column:
+    """Arrow-batched Jaro-Winkler similarity in [0,1]."""
+    ca = F.col(a) if isinstance(a, str) else a
+    cb = F.col(b) if isinstance(b, str) else b
+    return jaro_winkler_udf(ca, cb)
+
+
+def token_jaccard(tok_a: Column, tok_b: Column) -> Column:
+    """|A∩B| / |A∪B| over token arrays — built-in array functions."""
+    da = F.array_distinct(tok_a)
+    db = F.array_distinct(tok_b)
+    inter = F.size(F.array_intersect(da, db)).cast("double")
+    union = F.size(F.array_union(da, db)).cast("double")
+    return F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+
+
+def token_overlap(tok_a: Column, tok_b: Column) -> Column:
+    """|A∩B| — the reference's core token-overlap signal
+    (/root/reference/merge_machine/es_labeller.py:551-637 semantics: the
+    CoreScorer counts shared analyzed tokens between the two sides)."""
+    return F.size(F.array_intersect(F.array_distinct(tok_a), F.array_distinct(tok_b)))
+
+
+def cosine_embeddings(a: Column, b: Column) -> Column:
+    """Cosine over two array<float|double> columns via higher-order
+    functions — JVM-side, sequential fold (deterministic order)."""
+    dot = F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    n1 = F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double")))
+    n2 = F.sqrt(F.aggregate(b, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double")))
+    return F.when((n1 > 0) & (n2 > 0), dot / (n1 * n2)).otherwise(F.lit(0.0))

@@ -1,0 +1,163 @@
+"""Pair scoring and matcher composition.
+
+The reference's per-pair relevance score is Lucene BM25 × boost, summed over
+the clauses of a compound bool query (must adds AND-semantics + score,
+should adds optional score — /root/reference/merge_machine/helpers.py:112-143,
+query_templates.py:106-116; scoring itself happens inside Elasticsearch).
+Here each clause is a (channel, projection-pair, weight) and its score is an
+explicit similarity feature; compound templates compose exactly like the
+ES bool query:
+
+  must clauses   -> inner-join intersection of clause candidate sets (J3)
+  should clauses -> left-join, score added when present (J4)
+  total score    = Σ weight_i · clause_score_i
+
+TF-IDF cosine is computed DataFrame-natively (materialized IDF — the one
+thing Lucene gave the reference for free, SURVEY.md §2.4) so candidate
+generation and scoring share one token join.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import analyzers as A
+from ..functions import similarity as S
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF scored token join (candidate generation + cosine in one pass)
+# ---------------------------------------------------------------------------
+def tfidf_weighted_tokens(tokens_tf: DataFrame, dfreq: DataFrame, n_docs: int) -> DataFrame:
+    """(id, token, tf) -> (id, token, w) with w L2-normalized per doc.
+
+    idf = ln((N+1)/(df+1)) + 1 (smooth; any monotone variant works — the
+    calibration layer learns thresholds over *our* scores, SURVEY.md §7.3).
+    """
+    w = tokens_tf.join(dfreq, "token").select(
+        "id",
+        "token",
+        (F.col("tf").cast("double") * (F.log((F.lit(float(n_docs + 1))) / (F.col("df") + 1)) + 1.0)).alias("w"),
+    )
+    norms = w.groupBy("id").agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("norm"))
+    return w.join(norms, "id").select("id", "token", (F.col("w") / F.col("norm")).alias("w"))
+
+
+def tfidf_cosine_pairs(
+    tokens_tf_a: DataFrame,
+    tokens_tf_b: DataFrame | None = None,
+    max_df: int | None = 256,
+    n_docs: int | None = None,
+) -> DataFrame:
+    """Scored blocking: (id_a, id_b, tfidf_cosine) for every pair sharing a
+    surviving token. Self-join mode when ``tokens_tf_b`` is None (id_a<id_b).
+
+    One token-join shuffle produces BOTH the candidate set and its TF-IDF
+    cosine score — cheaper than block-then-rescore at 100 TB because the
+    explode join dominates cost.
+    """
+    self_join = tokens_tf_b is None
+    corpus = tokens_tf_a if self_join else tokens_tf_a.unionByName(tokens_tf_b)
+    if n_docs is None:
+        n_docs = corpus.select("id").distinct().count()
+    dfreq = corpus.groupBy("token").agg(F.countDistinct("id").alias("df"))
+    wa = tfidf_weighted_tokens(tokens_tf_a, dfreq, n_docs)
+    wb = wa if self_join else tfidf_weighted_tokens(tokens_tf_b, dfreq, n_docs)
+    if max_df is not None:
+        keep = dfreq.filter(F.col("df") <= max_df).select("token")
+        wa = wa.join(keep, "token", "left_semi")
+        wb = wa if self_join else wb.join(keep, "token", "left_semi")
+    # After the df-cap, per-token fan-out is bounded by max_df² pairs, so a
+    # plain shuffle join + AQE skew-split is enough here; explicit salting
+    # (salted_token_join) is reserved for uncapped joins.
+    ja = wa.select("id", "token", F.col("w").alias("wa"))
+    jb = wb.select("id", "token", F.col("w").alias("wb"))
+    a = ja.alias("a")
+    b = jb.alias("b")
+    pairs = a.join(b, "token")
+    if self_join:
+        pairs = pairs.filter(F.col("a.id") < F.col("b.id"))
+    return (
+        pairs.groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.sum(F.col("a.wa") * F.col("b.wb")).alias("tfidf_cosine"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# feature scoring over candidate pairs
+# ---------------------------------------------------------------------------
+FEATURES = ("lev_norm", "jaro_winkler", "token_jaccard", "token_overlap")
+
+
+def score_pairs(
+    pairs: DataFrame,
+    side_a: DataFrame,
+    side_b: DataFrame,
+    col_a: str,
+    col_b: str,
+    channel: str = "standard",
+    features: tuple[str, ...] = ("lev_norm", "jaro_winkler", "token_jaccard"),
+    prefix: str = "",
+) -> DataFrame:
+    """Attach per-pair similarity features for one (proj_a, proj_b, channel)
+    clause. ``pairs`` has (id_a, id_b[, ...]); ``side_a``/``side_b`` carry
+    (doc_id, <text cols>). Joins are plain equi-joins on ids — Catalyst
+    broadcasts a side when it is small (labelled-pair scoring) and
+    shuffle-hash-joins otherwise."""
+    a = side_a.select(F.col("doc_id").alias("id_a"), F.col(col_a).alias("_txt_a"))
+    b = side_b.select(F.col("doc_id").alias("id_b"), F.col(col_b).alias("_txt_b"))
+    out = pairs.join(a, "id_a").join(b, "id_b")
+    tok_a = A.analyze(F.col("_txt_a"), channel)
+    tok_b = A.analyze(F.col("_txt_b"), channel)
+    fmap: dict[str, Column] = {
+        "lev_norm": S.levenshtein_norm("_txt_a", "_txt_b"),
+        "jaro_winkler": S.jaro_winkler("_txt_a", "_txt_b"),
+        "token_jaccard": S.token_jaccard(tok_a, tok_b),
+        "token_overlap": S.token_overlap(tok_a, tok_b).cast("double"),
+    }
+    for f in features:
+        out = out.withColumn(prefix + f, fmap[f])
+    return out.drop("_txt_a", "_txt_b")
+
+
+# ---------------------------------------------------------------------------
+# compound-matcher composition (bool must/should semantics)
+# ---------------------------------------------------------------------------
+@dataclass(frozen=True)
+class Clause:
+    """One single-query template: (bool_lvl, source proj, ref proj, channel,
+    weight) — the 5-tuple of the reference (HOW_TO.md:124-133)."""
+
+    bool_lvl: str  # 'must' | 'should'
+    proj_a: str
+    proj_b: str
+    channel: str
+    weight: float = 1.0
+
+
+def compose_matcher(clause_scores: list[tuple[Clause, DataFrame]], score_col: str = "score") -> DataFrame:
+    """Combine per-clause score tables into one matcher score.
+
+    Each input df: (id_a, id_b, clause_score). Musts intersect (inner join);
+    shoulds left-join onto the must core and contribute when present.
+    Total = Σ weight·score, exactly the additive bool-query scoring of the
+    reference (must >=1 enforced, query_templates.py:113-116)."""
+    musts = [(c, df) for c, df in clause_scores if c.bool_lvl == "must"]
+    shoulds = [(c, df) for c, df in clause_scores if c.bool_lvl != "must"]
+    if not musts:
+        raise ValueError("a compound matcher needs >=1 must clause")
+    acc: DataFrame | None = None
+    terms: list[str] = []
+    for i, (c, df) in enumerate(musts + shoulds):
+        col = f"_cl{i}"
+        d = df.select("id_a", "id_b", (F.col("clause_score") * F.lit(c.weight)).alias(col))
+        acc = d if acc is None else acc.join(d, ["id_a", "id_b"], "inner" if c.bool_lvl == "must" else "left")
+        terms.append(col)
+    total = None
+    for t in terms:
+        piece = F.coalesce(F.col(t), F.lit(0.0))
+        total = piece if total is None else total + piece
+    return acc.select("id_a", "id_b", total.alias(score_col))
