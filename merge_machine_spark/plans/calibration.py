@@ -1,0 +1,336 @@
+"""Calibration — driver-side port of the reference's learning machinery.
+
+The reference learns which weighted combination of (column-pairing, analyzer,
+boost) clauses discriminates matches, by labelling pairs and computing
+per-template precision/recall/threshold curves (SURVEY.md §2.10, L1-L14;
+/root/reference/merge_machine/es_labeller.py). All of it operates on <=~100
+labelled source rows x a template list — calibration, not data-plane work —
+so it runs in pandas on the driver, while the searches it needs (candidate
+scores for labelled pairs) come from one DataFrame job collected via Arrow.
+
+Ported semantics:
+  L1  template enumeration            -> :func:`enumerate_templates`
+  L2  dominated-analyzer pruning      -> :func:`prune_dominated`
+  L5  threshold + P/R + custom score  -> :func:`compute_metrics` (verbatim
+      port of es_labeller.py:307-417 incl. the f_p/f_r shapes,
+      MIN_OBSERVATIONS=4 and the idx/thresh selection rule)
+  L6  precision filter                -> :func:`filter_by_precision`
+  T1/T3 sort + truncate to cascade    -> :func:`calibrate_cascade`
+  L14 export params                   -> :func:`export_params` /
+      :func:`load_params` (JSON shape of FIXTURES.md §3, mirroring
+      examples/data_1/learned_settings.json)
+  J7  unique-key auto-label           -> :func:`auto_label`
+
+Interactive-only machinery (L7 expansion schedules, L9 proposal policy,
+L12 undo, L13 custom search) belongs to the reference's console labeller and
+is out of scope for the batch engine (SURVEY.md §7.3: the unique-key oracle
+replaces the human).
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import asdict, dataclass, field
+from itertools import combinations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..operators.scoring import Clause
+
+MIN_OBSERVATIONS = 4  # es_labeller.py:389
+
+
+def compute_metrics(
+    scores: np.ndarray,
+    first_is_match: np.ndarray,
+    has_results: np.ndarray | None = None,
+    t_p: float = 0.95,
+    t_r: float = 0.3,
+) -> tuple[float, float, float, float]:
+    """Optimal threshold + precision/recall/custom-score for one matcher.
+
+    Inputs are per-*source-row* summaries (best-hit score, whether that best
+    hit is a true match, whether any hit came back). Returns
+    (thresh, precision, recall, score). Sort desc by score; rolling
+    precision = cumsum(first_is_match)/min(rank, #has_results); rolling
+    recall = cumsum/n; custom score f_p(p)·f_r(r) with
+    f_p(x) = (2·max(x−t_p,0) + min(t_p·(x/t_p)^4, t_p))^1.5 / 2 and
+    f_r(x) = max(x−t_r,0) + min(t_r·(x/t_r)^4, t_r); threshold = score at the
+    argmax index (last argmax wins), floored at MIN_OBSERVATIONS, with the
+    ~0 threshold when the best index is the full set."""
+    scores = np.asarray(scores, dtype="float64")
+    first_is_match = np.asarray(first_is_match, dtype="bool")
+    if has_results is None:
+        has_results = np.ones(len(scores), dtype="bool")
+    has_results = np.asarray(has_results, dtype="bool")
+    n = len(scores)
+    if n == 0 or first_is_match.sum() == 0:
+        return 1000.0, 0.0, 0.0, 0.0
+    order = np.argsort(-scores, kind="stable")
+    s, m, h = scores[order], first_is_match[order], has_results[order]
+    num_has_results = int(h.sum())
+    assert m[~h].sum() == 0, "a no-result row cannot have a matching first hit"
+    rolling_precision = m.cumsum() / np.minimum(np.arange(n) + 1, max(num_has_results, 1))
+    rolling_recall = m.cumsum() / n
+
+    def f_p(x: float) -> float:
+        return (2 * max(x - t_p, 0) + min(t_p * (x / t_p) ** 4, t_p)) ** 1.5 / 2
+
+    def f_r(x: float) -> float:
+        return max(x - t_r, 0) + min(t_r * (x / t_r) ** 4, t_r)
+
+    rolling_score = np.array([f_p(p) for p in rolling_precision]) * np.array([f_r(r) for r in rolling_recall])
+    idx = max(n - int(rolling_score[::-1].argmax()) - 1, min(MIN_OBSERVATIONS, n - 1))
+    thresh = 0.0001 if idx == n - 1 else float(s[idx])
+    return thresh, float(rolling_precision[idx]), float(rolling_recall[idx]), float(rolling_score[idx])
+
+
+# ---------------------------------------------------------------------------
+# template enumeration (L1) + pruning (L2)
+# ---------------------------------------------------------------------------
+# Analyzer dominance order within one column pairing (query_templates.py:130-196
+# semantics: when a template holds two clauses on the same pairing, the more
+# specific analyzer wins and the generic one is dropped).
+ANALYZER_PRIORITY = ["french_estab", "french", "special_keyword", "phonetic", "n_grams", "standard"]
+# channels that may also appear as optional 'should' clauses
+SHOULD_CHANNELS = {"integers", "city"}  # es_labeller.py:738-739
+
+
+@dataclass
+class Template:
+    """A compound matcher: >=1 must clause (+ optional shoulds) plus learned
+    threshold/metrics (the reference's CompoundQueryTemplate + best_thresh)."""
+
+    clauses: list[Clause]
+    thresh: float = 1000.0
+    precision: float = 0.0
+    recall: float = 0.0
+    score: float = 0.0
+
+    def key(self) -> tuple:
+        return tuple(sorted((c.bool_lvl, c.proj_a, c.proj_b, c.channel, c.weight) for c in self.clauses))
+
+
+def enumerate_templates(
+    pairings: list[tuple[str, str]],
+    channels: list[str],
+    max_levels: int = 3,
+    weights: tuple[float, ...] = (1.0,),
+) -> list[Template]:
+    """L1 (es_labeller.py:67-153): singles = pairing x channel x bool level
+    (should only for SHOULD_CHANNELS) x weight; compounds = all combinations
+    of 2..max_levels singles with >=1 must and, when >1 pairing exists,
+    >=2 distinct pairings."""
+    singles: list[Clause] = []
+    for pa, pb in pairings:
+        for ch in channels:
+            for w in weights:
+                singles.append(Clause("must", pa, pb, ch, w))
+                if ch in SHOULD_CHANNELS:
+                    singles.append(Clause("should", pa, pb, ch, w))
+    out: list[Template] = [Template([c]) for c in singles if c.bool_lvl == "must"]
+    for k in range(2, max_levels + 1):
+        for combo in combinations(singles, k):
+            musts = [c for c in combo if c.bool_lvl == "must"]
+            if not musts:
+                continue
+            pairs_used = {(c.proj_a, c.proj_b) for c in combo}
+            if len(pairings) > 1 and len(pairs_used) < 2:
+                continue
+            if len({(c.proj_a, c.proj_b, c.channel) for c in combo}) < len(combo):
+                continue  # same clause twice at different bool level
+            out.append(Template(list(combo)))
+    # dedupe by canonical key
+    seen: set[tuple] = set()
+    uniq = []
+    for t in out:
+        if t.key() not in seen:
+            seen.add(t.key())
+            uniq.append(t)
+    return uniq
+
+
+def prune_dominated(templates: list[Template]) -> list[Template]:
+    """L2: within a template, if two clauses cover the same pairing, keep the
+    highest-priority analyzer only; drop templates that collapse to dupes."""
+    pri = {ch: i for i, ch in enumerate(ANALYZER_PRIORITY)}
+    out, seen = [], set()
+    for t in templates:
+        best: dict[tuple, Clause] = {}
+        for c in t.clauses:
+            k = (c.bool_lvl, c.proj_a, c.proj_b)
+            cur = best.get(k)
+            if cur is None or pri.get(c.channel, 99) < pri.get(cur.channel, 99):
+                best[k] = c
+        nt = Template(sorted(best.values(), key=lambda c: (c.bool_lvl, c.proj_a, c.proj_b, c.channel)))
+        if not any(c.bool_lvl == "must" for c in nt.clauses):
+            continue
+        if nt.key() not in seen:
+            seen.add(nt.key())
+            out.append(nt)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# calibration over a labelled pair-feature table
+# ---------------------------------------------------------------------------
+def template_pair_scores(pdf: pd.DataFrame, template: Template, clause_col) -> pd.Series:
+    """Score every labelled candidate pair under ``template``.
+
+    ``pdf`` columns: id_a, id_b, label + one feature column per
+    (proj_a, proj_b, channel) named by ``clause_col(clause)``. A pair is in
+    the template's candidate set iff every must clause has a non-null,
+    positive feature (the analog of 'retrieved by the must query'); shoulds
+    add score when present."""
+    total = pd.Series(0.0, index=pdf.index)
+    in_cand = pd.Series(True, index=pdf.index)
+    for c in template.clauses:
+        col = clause_col(c)
+        v = pdf[col].astype("float64")
+        if c.bool_lvl == "must":
+            in_cand &= v.notna() & (v > 0)
+            total += v.fillna(0.0) * c.weight
+        else:
+            total += v.fillna(0.0) * c.weight
+    return total.where(in_cand, np.nan)
+
+
+def calibrate_template(
+    pdf: pd.DataFrame, template: Template, clause_col, t_p: float = 0.95, t_r: float = 0.3
+) -> Template:
+    """L5 applied to one template: per source row take the best-scoring
+    candidate pair, derive (score, first_is_match, has_results), learn the
+    threshold. Label semantics: 'y' -> match, 'n' -> not, 'f' (forget) rows
+    are excluded (es_labeller sentinel handling, L4)."""
+    d = pdf[pdf["label"].isin(["y", "n"])].copy()
+    d["_score"] = template_pair_scores(d, template, clause_col)
+    summaries = []
+    for _, grp in d.groupby("id_a", sort=False):
+        cand = grp[grp["_score"].notna()]
+        if len(cand):
+            best = cand.loc[cand["_score"].idxmax()]
+            summaries.append((float(best["_score"]), best["label"] == "y", True))
+        else:
+            # no candidate for this row under this template
+            summaries.append((0.0, False, False))
+    if not summaries:
+        return template
+    arr = np.array(summaries, dtype="object")
+    thresh, precision, recall, score = compute_metrics(
+        np.array([x[0] for x in summaries]),
+        np.array([x[1] for x in summaries]),
+        np.array([x[2] for x in summaries]),
+        t_p=t_p,
+        t_r=t_r,
+    )
+    return Template(template.clauses, thresh, precision, recall, score)
+
+
+def filter_by_precision(templates: list[Template], num_positives: int, min_keep: int = 3) -> list[Template]:
+    """L6 precision floor schedule (es_labeller.py:2093-2130): >=0.5 after 20
+    positive labels, 0.4 after 10, 0.3 after 5; always keep >= min_keep."""
+    if num_positives >= 20:
+        floor = 0.5
+    elif num_positives >= 10:
+        floor = 0.4
+    elif num_positives >= 5:
+        floor = 0.3
+    else:
+        floor = 0.0
+    kept = [t for t in templates if t.precision >= floor]
+    if len(kept) < min_keep:
+        kept = sorted(templates, key=lambda t: -t.score)[:min_keep]
+    return kept
+
+
+def calibrate_cascade(
+    pdf: pd.DataFrame,
+    templates: list[Template],
+    clause_col,
+    max_queries: int = 3,
+    t_p: float = 0.95,
+    t_r: float = 0.3,
+) -> list[Template]:
+    """Calibrate every template, apply the precision filter, sort by custom
+    score desc (T1) and truncate to the link-time cascade of
+    ``max_queries`` (T3; es_match.py:297 uses 3)."""
+    scored = [calibrate_template(pdf, t, clause_col, t_p=t_p, t_r=t_r) for t in templates]
+    n_pos = int((pdf["label"] == "y").sum())
+    scored = filter_by_precision(scored, n_pos)
+    scored.sort(key=lambda t: -t.score)
+    return scored[:max_queries]
+
+
+# ---------------------------------------------------------------------------
+# unique-key auto-label (J7) and export (L14)
+# ---------------------------------------------------------------------------
+def auto_label(
+    side_a: DataFrame,
+    side_b: DataFrame,
+    key_a: str,
+    key_b: str,
+    id_a: str = "doc_id",
+    id_b: str = "doc_id",
+    max_labels: int | None = None,
+) -> DataFrame:
+    """Fully automatic labelling from a designated unique key
+    (es_labeller.py:1572-1661 semantics; keyword/exact analyzer): equal
+    non-empty keys -> 'y'. The reference errors when a key hits >1 ref row;
+    we enforce the same cardinality check."""
+    a = side_a.select(F.col(id_a).alias("doc_id_a"), F.trim(F.col(key_a)).alias("_k")).filter(
+        F.col("_k").isNotNull() & (F.col("_k") != "")
+    )
+    b = side_b.select(F.col(id_b).alias("doc_id_b"), F.trim(F.col(key_b)).alias("_k")).filter(
+        F.col("_k").isNotNull() & (F.col("_k") != "")
+    )
+    dup = b.groupBy("_k").count().filter(F.col("count") > 1).count()
+    if dup:
+        raise ValueError(f"certain-match key is not unique on ref side ({dup} duplicated keys)")
+    out = a.join(b, "_k").select("doc_id_a", "doc_id_b", F.lit("y").alias("label"))
+    if max_labels is not None:
+        out = out.limit(max_labels)
+    return out
+
+
+def export_params(
+    cascade: list[Template],
+    exact_pairs: list[tuple[str, str]] | None = None,
+    non_matching_pairs: list[tuple[str, str]] | None = None,
+    must: dict | None = None,
+    must_not: dict | None = None,
+) -> dict:
+    """L14 JSON shape (FIXTURES.md §3 / learned_settings.json)."""
+    return {
+        "queries": [
+            {
+                "template": [[c.bool_lvl, c.proj_a, c.proj_b, c.channel, c.weight] for c in t.clauses],
+                "best_thresh": t.thresh,
+                "expected_precision": t.precision,
+                "expected_recall": t.recall,
+                "score": t.score,
+            }
+            for t in cascade
+        ],
+        "must": must or {},
+        "must_not": must_not or {},
+        "exact_pairs": [list(p) for p in (exact_pairs or [])],
+        "non_matching_pairs": [list(p) for p in (non_matching_pairs or [])],
+    }
+
+
+def load_params(blob: str | dict) -> tuple[list[Template], dict]:
+    cfg = json.loads(blob) if isinstance(blob, str) else blob
+    cascade = [
+        Template(
+            [Clause(*c[:4], float(c[4])) for c in q["template"]],
+            q.get("best_thresh", 1000.0),
+            q.get("expected_precision", 0.0),
+            q.get("expected_recall", 0.0),
+            q.get("score", 0.0),
+        )
+        for q in cfg.get("queries", [])
+    ]
+    return cascade, cfg

@@ -1,0 +1,186 @@
+"""End-to-end entity-resolution pipeline.
+
+The flagship flow (SURVEY.md §3.3 step 11):
+
+    documents -> text projections -> per-channel tokens
+             -> fused blocking + TF-IDF scoring (one token join)
+             -> pair similarity features (Arrow UDFs)
+             -> composite matcher score -> match edges (threshold)
+             -> connected components -> cluster assignments
+
+Every stage checkpoints through :class:`~..sources.checkpoints.StageStore`
+(candidate_pairs / pair_scores / match_edges / cluster_assignments) so a
+killed run resumes at the last completed stage. Spans are never carried
+through the pair plane — only ``doc_id`` travels; span sequences re-join at
+the end by id, preserving the per-row span invariant by construction.
+
+Linkage mode (dirty source -> clean ref, the reference's es_linker) lives in
+:func:`link`; symmetric dedup/clustering (north rule) in :func:`resolve`.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import analyzers as A
+from ..functions.textproj import project_documents
+from ..operators import cascade as C
+from ..operators.blocking import BlockingReport, explode_tokens, lsh_candidate_pairs
+from ..operators.clustering import assignments_with_singletons, connected_components
+from ..operators.scoring import score_pairs, tfidf_cosine_pairs
+from ..sources.checkpoints import StageStore
+
+
+@dataclass
+class ResolveConfig:
+    """Declarative matcher config — the analog of the reference's
+    ``match_cols`` + ``columns_to_index`` + learned params."""
+
+    # text projections over spans: name -> text-span index (None = full text)
+    projections: dict = field(default_factory=lambda: {"full_text": None})
+    # blocking/scoring channel for the TF-IDF join
+    block_channel: str = "french_estab"
+    block_proj: str = "full_text"
+    max_df: int | None = 256
+    # extra LSH candidate channel over 3-gram shingles
+    use_lsh: bool = False
+    lsh_bands: int = 16
+    lsh_rows: int = 4
+    # pair feature weights (composite score = Σ w_f · f)
+    weights: dict = field(
+        default_factory=lambda: {
+            "tfidf_cosine": 0.40,
+            "jaro_winkler": 0.20,
+            "token_jaccard": 0.20,
+            "int_jaccard": 0.20,
+        }
+    )
+    threshold: float = 0.5
+    # optional second threshold pass: pairs in [review_threshold, threshold)
+    # are kept in pair_scores for review but not linked
+    n_docs_hint: int | None = None
+
+
+def _pair_scores(proj: DataFrame, cfg: ResolveConfig, n_docs: int) -> DataFrame:
+    """Candidate generation fused with TF-IDF + similarity features."""
+    tok = explode_tokens(proj, "doc_id", A.analyze(cfg.block_proj, cfg.block_channel), with_tf=True)
+    pairs = tfidf_cosine_pairs(tok, max_df=cfg.max_df, n_docs=n_docs)
+    if cfg.use_lsh:
+        lsh = lsh_candidate_pairs(
+            proj, "doc_id", A.analyze(cfg.block_proj, "n_grams"), bands=cfg.lsh_bands, rows=cfg.lsh_rows
+        ).withColumn("tfidf_cosine", F.lit(0.0))
+        pairs = (
+            pairs.unionByName(lsh.select("id_a", "id_b", "tfidf_cosine"))
+            .groupBy("id_a", "id_b")
+            .agg(F.max("tfidf_cosine").alias("tfidf_cosine"))
+        )
+    feats = [f for f in ("lev_norm", "jaro_winkler", "token_jaccard") if f in cfg.weights]
+    scored = score_pairs(
+        pairs, proj, proj, cfg.block_proj, cfg.block_proj, channel=cfg.block_channel, features=tuple(feats)
+    )
+    if "int_jaccard" in cfg.weights:
+        int_scored = score_pairs(
+            scored, proj, proj, cfg.block_proj, cfg.block_proj, channel="integers", features=("token_jaccard",),
+            prefix="int_",
+        )
+        scored = int_scored.withColumnRenamed("int_token_jaccard", "int_jaccard")
+    total = None
+    for name, w in cfg.weights.items():
+        piece = F.coalesce(F.col(name), F.lit(0.0)) * F.lit(float(w))
+        total = piece if total is None else total + piece
+    return scored.withColumn("score", total)
+
+
+def resolve(
+    spark: SparkSession,
+    documents: DataFrame,
+    cfg: ResolveConfig | None = None,
+    checkpoint_dir: str | None = None,
+    run_id: str = "run",
+    resume: bool = True,
+) -> dict[str, DataFrame]:
+    """Symmetric dedup/clustering over one documents table.
+
+    Returns {'projected', 'pair_scores', 'match_edges', 'cluster_assignments'}
+    DataFrames; when ``checkpoint_dir`` is set each is a durable checkpointed
+    table and the run resumes after the last completed stage."""
+    cfg = cfg or ResolveConfig()
+    store = StageStore(checkpoint_dir, run_id) if checkpoint_dir else None
+
+    proj = project_documents(documents, cfg.projections)
+    if store:
+        proj = store.get_or_compute(spark, "projected", lambda: proj, resume=resume)
+    else:
+        proj = proj.cache()
+    n_docs = cfg.n_docs_hint or proj.count()
+
+    def compute_scores() -> DataFrame:
+        return _pair_scores(proj, cfg, n_docs)
+
+    if store:
+        scores = store.get_or_compute(spark, "pair_scores", compute_scores, score_col="score", resume=resume)
+    else:
+        scores = compute_scores().cache()
+
+    edges = scores.filter(F.col("score") >= F.lit(cfg.threshold)).select("id_a", "id_b")
+    if store:
+        edges = store.get_or_compute(spark, "match_edges", lambda: edges, resume=resume)
+
+    def compute_clusters() -> DataFrame:
+        cc_dir = f"{checkpoint_dir}/{run_id}/_cc_iters" if checkpoint_dir else None
+        assign = connected_components(edges, checkpoint_dir=cc_dir)
+        return assignments_with_singletons(proj, assign)
+
+    if store:
+        clusters = store.get_or_compute(spark, "cluster_assignments", compute_clusters, resume=resume)
+    else:
+        clusters = compute_clusters()
+
+    return {"projected": proj, "pair_scores": scores, "match_edges": edges, "cluster_assignments": clusters}
+
+
+def link(
+    spark: SparkSession,
+    source: DataFrame,
+    ref: DataFrame,
+    tiers: list[dict],
+    exact_pairs: DataFrame | None = None,
+    non_matching_pairs: DataFrame | None = None,
+    match_cols: list[str] | None = None,
+) -> DataFrame:
+    """Asymmetric linkage (the reference's production query, es_match.py:241-417).
+
+    ``source``/``ref``: flat string-column DataFrames with a ``doc_id``.
+    ``tiers``: priority-ordered matcher configs, each
+      {proj_a, proj_b, channel, weights: {feature: w}, threshold, max_df}.
+    Returns the reference output contract (FIXTURES.md §4): source columns +
+    __IS_MATCH __ID_REF __ID_QUERY __SIM_SCORE __THRESH __CONFIDENCE
+    __SOURCE_GROUP + ref columns suffixed __REF."""
+    match_cols = match_cols or [t["proj_a"] for t in tiers]
+    small_source, group_map, did_dedup = C.deduplicate_source(source, match_cols)
+
+    n_ref = ref.count()
+    tier_best, tier_means, thresholds = [], [], []
+    for t in tiers:
+        tok_a = explode_tokens(small_source, "doc_id", A.analyze(t["proj_a"], t["channel"]), with_tf=True)
+        tok_b = explode_tokens(ref, "doc_id", A.analyze(t["proj_b"], t["channel"]), with_tf=True)
+        pairs = tfidf_cosine_pairs(tok_a, tok_b, max_df=t.get("max_df", 256), n_docs=n_ref)
+        feats = [f for f in t["weights"] if f != "tfidf_cosine"]
+        scored = score_pairs(
+            pairs, small_source, ref, t["proj_a"], t["proj_b"], channel=t["channel"], features=tuple(feats)
+        )
+        total = None
+        for name, w in t["weights"].items():
+            piece = F.coalesce(F.col(name), F.lit(0.0)) * F.lit(float(w))
+            total = piece if total is None else total + piece
+        scored = scored.withColumn("score", total).cache()
+        tier_best.append(C.top1_per_source(scored.select("id_a", "id_b", "score")))
+        tier_means.append(float(scored.agg(F.avg("score")).collect()[0][0] or 1.0))
+        thresholds.append(float(t["threshold"]))
+
+    picked = C.cascade_pick(tier_best, thresholds, tier_means)
+    picked = C.apply_overrides(picked, exact_pairs, non_matching_pairs)
+    return C.link_output(source, ref, picked, group_map)
