@@ -1,38 +1,810 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship entity-resolution pipeline of
+``merge_machine_spark`` over the driver's sf0.001 documents table (wrapped
+into the interleaved-span shape of BASELINE.json input_hint).
+
+``queries()``/``oracle_sql()`` expose one entry per implemented operator
+family from SURVEY.md §2, executable at any sf_dir, with ANSI-SQL DuckDB
+oracles. Determinism rules used throughout (so value hashes match):
+  * no float *aggregations* — sums/means go through exact DECIMAL and only
+    then into scalar double arithmetic (identical IEEE results);
+  * ratios exposed as integer-scaled values via integer division;
+  * every top-k has a total tie-break order;
+  * timestamps/dates stringified.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
 
 
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# shared building blocks (Spark side)
+# ---------------------------------------------------------------------------
+_TOKEN_SPLIT = r"[^a-z0-9]+"
+
+
+def _tokens(spark, sf_dir) -> DataFrame:
+    """(doc_id, token) distinct — J1's exploded token table (SURVEY §2.3)."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.coalesce(F.col("text"), F.lit(""))), _TOKEN_SPLIT)
+    return (
+        docs.select(F.col("doc_id"), F.explode(toks).alias("token"))
+        .filter(F.col("token") != "")
+        .distinct()
+    )
+
+
+def _block_keys(spark, sf_dir) -> DataFrame:
+    """(doc_id, k): first-2-token blocking key (F1-style normalized key)."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.coalesce(F.col("text"), F.lit(""))), _TOKEN_SPLIT)
+    toks = F.filter(toks, lambda t: t != F.lit(""))
+    return docs.select(F.col("doc_id"), F.array_join(F.slice(toks, 1, 2), " ").alias("k"))
+
+
+def _block_pairs(spark, sf_dir) -> DataFrame:
+    """(id_a, id_b, k): symmetric self-join blocking, canonical id_a < id_b."""
+    keys = _block_keys(spark, sf_dir)
+    a = keys.select(F.col("doc_id").alias("id_a"), "k")
+    b = keys.select(F.col("doc_id").alias("id_b"), "k")
+    return a.join(b, "k").filter(F.col("id_a") < F.col("id_b")).select("id_a", "id_b", "k")
+
+
+_SQL_TOKENS = """
+SELECT DISTINCT doc_id, token
+FROM (SELECT doc_id, unnest(regexp_split_to_array(lower(coalesce(text,'')), '[^a-z0-9]+')) AS token
+      FROM documents)
+WHERE token <> ''
+"""
+
+_SQL_BLOCK_KEYS = """
+SELECT doc_id,
+       array_to_string(list_filter(regexp_split_to_array(lower(coalesce(text,'')), '[^a-z0-9]+'),
+                                   t -> t <> '')[1:2], ' ') AS k
+FROM documents
+"""
+
+_SQL_BLOCK_PAIRS = f"""
+WITH keys AS ({_SQL_BLOCK_KEYS})
+SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.k AS k
+FROM keys a JOIN keys b ON a.k = b.k AND a.doc_id < b.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+def q_scan_clean_project(spark, sf_dir):
+    """S1/S2/P1/P7: scan + trim clean + many-to-one column concat."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.filter(F.col("n_chars") > 0).select(
+        "doc_id",
+        F.trim(F.col("text")).alias("text_clean"),
+        F.concat_ws(" ", F.coalesce("lang", F.lit("")), F.coalesce("source", F.lit(""))).alias("meta"),
+    )
+
+
+SQL_SCAN = """
+SELECT doc_id, trim(text) AS text_clean,
+       concat_ws(' ', coalesce(lang,''), coalesce(source,'')) AS meta
+FROM documents WHERE n_chars > 0
+"""
+
+
+def q_special_keyword(spark, sf_dir):
+    """F1 special_keyword: char-map + keyword tokenizer + lowercase
+    (reference analyzers, no_resource_analyzer_definitions.py:105-119)."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", F.lower(F.translate(F.col("text"), "-éèêëàü", " eeeeau")).alias("norm_key")
+    )
+
+
+SQL_SPECIAL_KEYWORD = """
+SELECT doc_id, lower(translate(text, '-éèêëàü', ' eeeeau')) AS norm_key FROM documents
+"""
+
+
+def q_tokens_standard(spark, sf_dir):
+    """F8 standard analyzer: token explode, the inverted-index table."""
+    return _tokens(spark, sf_dir)
+
+
+def q_token_doc_frequency(spark, sf_dir):
+    """Materialized document frequency (the IDF input Lucene gave the
+    reference for free — SURVEY §2.4 'new in our engine')."""
+    return _tokens(spark, sf_dir).groupBy("token").agg(F.count(F.lit(1)).alias("n_docs"))
+
+
+SQL_TOKEN_DF = f"""
+SELECT token, count(*) AS n_docs FROM ({_SQL_TOKENS}) GROUP BY token
+"""
+
+
+def q_top_tokens_per_doc(spark, sf_dir):
+    """J5/W1/W2 top-k window: 3 rarest-then-most-frequent tokens per doc,
+    ranked by (tf desc, global df asc, token) — the TF-IDF ordering with
+    integer keys only (no float ambiguity)."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.coalesce(F.col("text"), F.lit(""))), _TOKEN_SPLIT)
+    tf = (
+        docs.select("doc_id", F.explode(toks).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = _tokens(spark, sf_dir).groupBy("token").agg(F.count(F.lit(1)).alias("n_docs"))
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tf"), F.asc("n_docs"), F.asc("token"))
+    return (
+        tf.join(dfreq, "token")
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("doc_id", "token", "tf", "n_docs", "rank")
+    )
+
+
+SQL_TOP_TOKENS = f"""
+WITH tf AS (
+  SELECT doc_id, token, count(*) AS tf
+  FROM (SELECT doc_id, unnest(regexp_split_to_array(lower(coalesce(text,'')), '[^a-z0-9]+')) AS token
+        FROM documents)
+  WHERE token <> '' GROUP BY doc_id, token
+), dfreq AS (SELECT token, count(*) AS n_docs FROM ({_SQL_TOKENS}) GROUP BY token)
+SELECT doc_id, token, tf, n_docs, rank FROM (
+  SELECT tf.doc_id, tf.token, tf.tf, dfreq.n_docs,
+         row_number() OVER (PARTITION BY tf.doc_id ORDER BY tf.tf DESC, dfreq.n_docs ASC, tf.token ASC) AS rank
+  FROM tf JOIN dfreq USING (token)
+) WHERE rank <= 3
+"""
+
+
+def q_exact_dedup_groups(spark, sf_dir):
+    """A1/A2 + training-data exact dedup: groups at the blocking key with
+    >1 member; representative = min doc_id."""
+    keys = _block_keys(spark, sf_dir)
+    return (
+        keys.groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n_dups"), F.min("doc_id").alias("keep_id"))
+        .filter(F.col("n_dups") > 1)
+    )
+
+
+SQL_EXACT_DEDUP = f"""
+WITH keys AS ({_SQL_BLOCK_KEYS})
+SELECT k, count(*) AS n_dups, min(doc_id) AS keep_id FROM keys GROUP BY k HAVING count(*) > 1
+"""
+
+
+def q_blocking_pairs(spark, sf_dir):
+    """J1/J7: symmetric self-join blocking, canonical pairs."""
+    return _block_pairs(spark, sf_dir)
+
+
+def q_pair_token_jaccard(spark, sf_dir):
+    """A6/U3 token-overlap scoring over blocked pairs; jaccard integer-scaled
+    (x1e6, integer division) to stay float-free."""
+    pairs = _block_pairs(spark, sf_dir).select("id_a", "id_b")
+    tok = _tokens(spark, sf_dir)
+    sizes = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    ta = tok.select(F.col("doc_id").alias("id_a"), "token")
+    tb = tok.select(F.col("doc_id").alias("id_b"), "token")
+    inter = (
+        pairs.join(ta, "id_a").join(tb, ["id_b", "token"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    na = sizes.select(F.col("doc_id").alias("id_a"), F.col("n").alias("na"))
+    nb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n").alias("nb"))
+    return (
+        pairs.join(inter, ["id_a", "id_b"], "left")
+        .join(na, "id_a")
+        .join(nb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.coalesce("inter", F.lit(0)).alias("inter"),
+            (F.col("na") + F.col("nb") - F.coalesce("inter", F.lit(0))).alias("union_n"),
+            F.expr("(coalesce(inter,0) * 1000000) div (na + nb - coalesce(inter,0))").alias("jaccard_e6"),
+        )
+    )
+
+
+SQL_PAIR_JACCARD = f"""
+WITH pairs AS ({_SQL_BLOCK_PAIRS}), tok AS ({_SQL_TOKENS}),
+sizes AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
+inter AS (
+  SELECT p.id_a, p.id_b, count(*) AS inter
+  FROM pairs p JOIN tok a ON a.doc_id = p.id_a JOIN tok b ON b.doc_id = p.id_b AND b.token = a.token
+  GROUP BY p.id_a, p.id_b)
+SELECT p.id_a, p.id_b, coalesce(i.inter, 0) AS inter,
+       sa.n + sb.n - coalesce(i.inter, 0) AS union_n,
+       (coalesce(i.inter, 0) * 1000000) // (sa.n + sb.n - coalesce(i.inter, 0)) AS jaccard_e6
+FROM pairs p LEFT JOIN inter i ON i.id_a = p.id_a AND i.id_b = p.id_b
+JOIN sizes sa ON sa.doc_id = p.id_a JOIN sizes sb ON sb.doc_id = p.id_b
+"""
+
+
+def q_pair_levenshtein_top1(spark, sf_dir):
+    """J5/W1 + built-in edit distance: best (lowest-distance) partner per
+    id_a among blocked pairs."""
+    pairs = _block_pairs(spark, sf_dir).select("id_a", "id_b")
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    j = (
+        pairs.join(docs.select(F.col("doc_id").alias("id_a"), F.col("text").alias("ta")), "id_a")
+        .join(docs.select(F.col("doc_id").alias("id_b"), F.col("text").alias("tb")), "id_b")
+        .select("id_a", "id_b", F.levenshtein("ta", "tb").alias("lev"))
+    )
+    w = Window.partitionBy("id_a").orderBy(F.asc("lev"), F.asc("id_b"))
+    return j.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1).select("id_a", "id_b", "lev")
+
+
+SQL_LEV_TOP1 = f"""
+WITH pairs AS ({_SQL_BLOCK_PAIRS}),
+j AS (SELECT p.id_a, p.id_b, levenshtein(a.text, b.text) AS lev
+      FROM pairs p JOIN documents a ON a.doc_id = p.id_a JOIN documents b ON b.doc_id = p.id_b)
+SELECT id_a, id_b, lev FROM (
+  SELECT id_a, id_b, lev, row_number() OVER (PARTITION BY id_a ORDER BY lev ASC, id_b ASC) AS rn FROM j
+) WHERE rn = 1
+"""
+
+
+def q_pair_jaro_winkler(spark, sf_dir):
+    """North-rule similarity feature (Arrow pandas UDF) cross-checked against
+    DuckDB's jaro_winkler_similarity; floor-scaled x1e4."""
+    from merge_machine_spark.functions.similarity import jaro_winkler
+
+    pairs = _block_pairs(spark, sf_dir).select("id_a", "id_b")
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    j = (
+        pairs.join(docs.select(F.col("doc_id").alias("id_a"), F.col("text").alias("ta")), "id_a")
+        .join(docs.select(F.col("doc_id").alias("id_b"), F.col("text").alias("tb")), "id_b")
+    )
+    return j.select(
+        "id_a", "id_b", F.floor(jaro_winkler(F.col("ta"), F.col("tb")) * 10000).cast("bigint").alias("jw_e4")
+    )
+
+
+SQL_JARO_WINKLER = f"""
+WITH pairs AS ({_SQL_BLOCK_PAIRS})
+SELECT p.id_a, p.id_b,
+       CAST(floor(jaro_winkler_similarity(a.text, b.text) * 10000) AS BIGINT) AS jw_e4
+FROM pairs p JOIN documents a ON a.doc_id = p.id_a JOIN documents b ON b.doc_id = p.id_b
+"""
+
+
+def q_cascade_two_tier(spark, sf_dir):
+    """J6 priority cascade / `_best_match` truth table (es_match.py:41-57)
+    over events: tier1 = best 'purchase' value, tier2 = best 'click' value,
+    threshold 150; first tier above threshold wins, else first tier with any
+    hit."""
+    ev = _t(spark, sf_dir, "events")
+    t1 = ev.filter(F.col("event_type") == "purchase").groupBy("user_id").agg(F.max("value").alias("s1"))
+    t2 = ev.filter(F.col("event_type") == "click").groupBy("user_id").agg(F.max("value").alias("s2"))
+    j = t1.join(t2, "user_id", "full_outer")
+    qid = (
+        F.when(F.col("s1").isNotNull() & (F.col("s1") >= 150.0), F.lit(1))
+        .when(F.col("s2").isNotNull() & (F.col("s2") >= 150.0), F.lit(2))
+        .when(F.col("s1").isNotNull(), F.lit(1))
+        .when(F.col("s2").isNotNull(), F.lit(2))
+        .otherwise(F.lit(0))
+    )
+    best = (
+        F.when(qid == 1, F.col("s1")).when(qid == 2, F.col("s2")).otherwise(F.lit(None).cast("double"))
+    )
+    is_match = (qid == 1) & (F.col("s1") >= 150.0) | (qid == 2) & (F.col("s2") >= 150.0)
+    return j.select("user_id", qid.alias("query_id"), best.alias("best_value"), is_match.alias("is_match"))
+
+
+SQL_CASCADE = """
+WITH t1 AS (SELECT user_id, max(value) AS s1 FROM events WHERE event_type = 'purchase' GROUP BY user_id),
+     t2 AS (SELECT user_id, max(value) AS s2 FROM events WHERE event_type = 'click' GROUP BY user_id),
+     j AS (SELECT coalesce(t1.user_id, t2.user_id) AS user_id, s1, s2 FROM t1 FULL OUTER JOIN t2 ON t1.user_id = t2.user_id),
+     p AS (SELECT user_id, s1, s2,
+             CASE WHEN s1 IS NOT NULL AND s1 >= 150.0 THEN 1
+                  WHEN s2 IS NOT NULL AND s2 >= 150.0 THEN 2
+                  WHEN s1 IS NOT NULL THEN 1
+                  WHEN s2 IS NOT NULL THEN 2 ELSE 0 END AS query_id
+           FROM j)
+SELECT user_id, query_id,
+  CASE WHEN query_id = 1 THEN s1 WHEN query_id = 2 THEN s2 ELSE NULL END AS best_value,
+  (coalesce(s1, -1e18) >= 150.0) OR (coalesce(s2, -1e18) >= 150.0) AS is_match
+FROM p
+"""
+
+
+def q_confidence_scaling(spark, sf_dir):
+    """A3 `_confidence_estimator` (es_match.py:59-76): confidence =
+    1 + (score - thresh)/mean(score); mean built from an exact DECIMAL sum so
+    both engines do identical double arithmetic."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    stats = ev.agg(
+        F.sum(F.col("value").cast("decimal(18,2)")).alias("s"), F.count(F.lit(1)).alias("n")
+    )
+    j = ev.crossJoin(stats)
+    conf = F.lit(1.0) + (F.col("value") - F.lit(150.0)) / (F.col("s").cast("double") / F.col("n"))
+    return j.select("event_id", "user_id", "value", F.floor(conf * 1000).cast("bigint").alias("confidence_e3"))
+
+
+SQL_CONFIDENCE = """
+WITH stats AS (SELECT sum(CAST(value AS DECIMAL(18,2))) AS s, count(*) AS n FROM events WHERE event_type = 'purchase')
+SELECT event_id, user_id, value,
+       CAST(floor((1.0 + (value - 150.0) / (CAST(s AS DOUBLE) / n)) * 1000) AS BIGINT) AS confidence_e3
+FROM events, stats WHERE event_type = 'purchase'
+"""
+
+
+def q_must_not_filter(spark, sf_dir):
+    """P3/P4 global must / must_not word filters."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.filter(
+        F.col("text").contains("spark") & F.col("text").contains("query") & ~F.col("text").contains("slow")
+    ).select("doc_id", "lang", "source")
+
+
+SQL_MUST_NOT = """
+SELECT doc_id, lang, source FROM documents
+WHERE text LIKE '%spark%' AND text LIKE '%query%' AND text NOT LIKE '%slow%'
+"""
+
+
+def q_exact_override_union(spark, sf_dir):
+    """P5/P6/U1: 'labelled' exact pairs bypass scoring with sentinel 999
+    (es_match.py:386); others keep their computed score; one unioned table."""
+    pairs = _block_pairs(spark, sf_dir).select("id_a", "id_b")
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    j = (
+        pairs.join(docs.select(F.col("doc_id").alias("id_a"), F.col("text").alias("ta")), "id_a")
+        .join(docs.select(F.col("doc_id").alias("id_b"), F.col("text").alias("tb")), "id_b")
+    )
+    is_exact = (F.col("id_a") % 2 == 0) & (F.col("id_b") % 2 == 0)
+    score = F.when(is_exact, F.lit(999000).cast("bigint")).otherwise(
+        F.floor((F.lit(1.0) - F.levenshtein("ta", "tb") / F.greatest(F.length("ta"), F.length("tb"))) * 1000).cast("bigint")
+    )
+    return j.select("id_a", "id_b", is_exact.alias("is_exact"), score.alias("score_e3"))
+
+
+SQL_EXACT_OVERRIDE = f"""
+WITH pairs AS ({_SQL_BLOCK_PAIRS})
+SELECT p.id_a, p.id_b,
+       (p.id_a % 2 = 0 AND p.id_b % 2 = 0) AS is_exact,
+       CASE WHEN p.id_a % 2 = 0 AND p.id_b % 2 = 0 THEN CAST(999000 AS BIGINT)
+            ELSE CAST(floor((1.0 - levenshtein(a.text, b.text) / greatest(length(a.text), length(b.text))) * 1000) AS BIGINT)
+       END AS score_e3
+FROM pairs p JOIN documents a ON a.doc_id = p.id_a JOIN documents b ON b.doc_id = p.id_b
+"""
+
+
+def q_dedup_reattach(spark, sf_dir):
+    """A1/J9: representative per blocking group computes once, result
+    re-attached to every duplicate row."""
+    keys = _block_keys(spark, sf_dir)
+    w = Window.partitionBy("k")
+    with_rep = keys.withColumn("rep_id", F.min("doc_id").over(w))
+    rep_stats = _tokens(spark, sf_dir).groupBy("doc_id").agg(F.count(F.lit(1)).alias("rep_n_tokens"))
+    return with_rep.join(
+        rep_stats.withColumnRenamed("doc_id", "rep_id"), "rep_id", "left"
+    ).select("doc_id", "rep_id", F.coalesce("rep_n_tokens", F.lit(0)).alias("rep_n_tokens"))
+
+
+SQL_DEDUP_REATTACH = f"""
+WITH keys AS ({_SQL_BLOCK_KEYS}),
+reps AS (SELECT doc_id, k, min(doc_id) OVER (PARTITION BY k) AS rep_id FROM keys),
+stats AS (SELECT doc_id, count(*) AS rep_n_tokens FROM ({_SQL_TOKENS}) GROUP BY doc_id)
+SELECT r.doc_id, r.rep_id, coalesce(s.rep_n_tokens, 0) AS rep_n_tokens
+FROM reps r LEFT JOIN stats s ON s.doc_id = r.rep_id
+"""
+
+
+def q_rolling_precision_curve(spark, sf_dir):
+    """A4/W3 rolling precision curve (es_labeller.py:362-386 shape): events
+    sorted by value desc; rolling precision of 'purchase' among top-ranked,
+    integer-scaled."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.orderBy(F.desc("value"), F.asc("event_id")).rowsBetween(Window.unboundedPreceding, 0)
+    ranked = ev.select(
+        "event_id",
+        F.row_number().over(Window.orderBy(F.desc("value"), F.asc("event_id"))).alias("rank"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).over(w).alias("cum_purchase"),
+    )
+    return ranked.select(
+        "event_id", "rank", "cum_purchase", F.expr("(cum_purchase * 1000000) div rank").alias("prec_e6")
+    )
+
+
+SQL_ROLLING = """
+SELECT event_id, rank, CAST(cum_purchase AS BIGINT) AS cum_purchase,
+       CAST((cum_purchase * 1000000) // rank AS BIGINT) AS prec_e6
+FROM (
+  SELECT event_id,
+         row_number() OVER (ORDER BY value DESC, event_id ASC) AS rank,
+         sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+             OVER (ORDER BY value DESC, event_id ASC ROWS UNBOUNDED PRECEDING) AS cum_purchase
+  FROM events)
+"""
+
+
+def q_label_counters(spark, sf_dir):
+    """A8 label counters: per-type counts + integer-scaled share."""
+    ev = _t(spark, sf_dir, "events")
+    total = ev.count()
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"), F.expr(f"(count(1) * 1000000) div {total}").alias("share_e6")
+    )
+
+
+SQL_LABEL_COUNTERS = """
+SELECT event_type, count(*) AS n,
+       (count(*) * 1000000) // (SELECT count(*) FROM events) AS share_e6
+FROM events GROUP BY event_type
+"""
+
+
+def q_lang_id(spark, sf_dir):
+    """Training-data op: n-gram/stopword language-ID heuristic."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.coalesce(F.col("text"), F.lit(""))), _TOKEN_SPLIT)
+    en_hits = F.size(F.filter(toks, lambda t: (t == F.lit("the")) | (t == F.lit("a")) | (t == F.lit("of"))))
+    n_tok = F.size(F.filter(toks, lambda t: t != F.lit("")))
+    return docs.select(
+        "doc_id",
+        "lang",
+        en_hits.alias("en_hits"),
+        n_tok.alias("n_tokens"),
+        (en_hits * 1000 >= n_tok).alias("en_like"),
+    )
+
+
+SQL_LANG_ID = """
+SELECT doc_id, lang,
+  len(list_filter(regexp_split_to_array(lower(coalesce(text,'')), '[^a-z0-9]+'),
+                  t -> t IN ('the','a','of'))) AS en_hits,
+  len(list_filter(regexp_split_to_array(lower(coalesce(text,'')), '[^a-z0-9]+'), t -> t <> '')) AS n_tokens,
+  (len(list_filter(regexp_split_to_array(lower(coalesce(text,'')), '[^a-z0-9]+'), t -> t IN ('the','a','of'))) * 1000
+     >= len(list_filter(regexp_split_to_array(lower(coalesce(text,'')), '[^a-z0-9]+'), t -> t <> ''))) AS en_like
+FROM documents
+"""
+
+
+def q_quality_score(spark, sf_dir):
+    """Training-data op: document quality features (length / mean word
+    length / stopword ratio), integer-scaled."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.lower(F.coalesce(F.col("text"), F.lit(""))), _TOKEN_SPLIT), lambda t: t != F.lit(""))
+    n_tok = F.size(toks)
+    total_len = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
+    stop_hits = F.size(F.filter(toks, lambda t: (t == F.lit("the")) | (t == F.lit("a"))))
+    return docs.select(
+        "doc_id",
+        F.col("n_chars"),
+        n_tok.alias("n_tokens"),
+        F.expr("(aggregate(filter(split(lower(coalesce(text,'')), '[^a-z0-9]+'), x -> x <> ''), 0, (acc, x) -> acc + length(x)) * 1000) div greatest(size(filter(split(lower(coalesce(text,'')), '[^a-z0-9]+'), x -> x <> '')), 1)").alias("mean_wlen_e3"),
+        F.expr(
+            "(size(filter(split(lower(coalesce(text,'')), '[^a-z0-9]+'), x -> x in ('the','a'))) * 1000000)"
+            " div greatest(size(filter(split(lower(coalesce(text,'')), '[^a-z0-9]+'), x -> x <> '')), 1)"
+        ).alias("stop_ratio_e6"),
+    )
+
+
+SQL_QUALITY = """
+WITH t AS (
+  SELECT doc_id, n_chars,
+         list_filter(regexp_split_to_array(lower(coalesce(text,'')), '[^a-z0-9]+'), x -> x <> '') AS toks
+  FROM documents)
+SELECT doc_id, n_chars, len(toks) AS n_tokens,
+  CAST((coalesce(list_sum(list_transform(toks, x -> length(x))), 0) * 1000) // greatest(len(toks), 1) AS BIGINT) AS mean_wlen_e3,
+  CAST((len(list_filter(toks, x -> x IN ('the','a'))) * 1000000) // greatest(len(toks), 1) AS BIGINT) AS stop_ratio_e6
+FROM t
+"""
+
+
+def q_token_counts(spark, sf_dir):
+    """Training-data op: token counting (whitespace + alpha/digit regex)."""
+    docs = _t(spark, sf_dir, "documents")
+    ws = F.size(F.filter(F.split(F.col("text"), r"\s+"), lambda t: t != F.lit("")))
+    alpha = F.size(F.regexp_extract_all(F.lower(F.col("text")), F.lit("([a-z]+)"), 1))
+    digit = F.size(F.regexp_extract_all(F.col("text"), F.lit("([0-9]+)"), 1))
+    return docs.select("doc_id", ws.alias("ws_tokens"), alpha.alias("alpha_tokens"), digit.alias("digit_tokens"))
+
+
+SQL_TOKEN_COUNTS = """
+SELECT doc_id,
+  len(list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> '')) AS ws_tokens,
+  len(regexp_extract_all(lower(text), '([a-z]+)', 1)) AS alpha_tokens,
+  len(regexp_extract_all(text, '([0-9]+)', 1)) AS digit_tokens
+FROM documents
+"""
+
+
+def q_doc_fingerprint(spark, sf_dir):
+    """Training-data op: document fingerprint (md5 over whitespace-normalized
+    lowercase text) + duplicate-fingerprint count."""
+    docs = _t(spark, sf_dir, "documents")
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    fp = F.md5(norm)
+    w = Window.partitionBy("fp")
+    return docs.select("doc_id", fp.alias("fp")).withColumn("fp_count", F.count(F.lit(1)).over(w))
+
+
+SQL_FINGERPRINT = """
+SELECT doc_id, fp, count(*) OVER (PARTITION BY fp) AS fp_count
+FROM (SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp FROM documents)
+"""
+
+
+def q_embedding_cosine_top5(spark, sf_dir):
+    """Similarity search baseline: brute-force cosine top-5 for the first 10
+    query vectors (higher-order functions, JVM-side dot product)."""
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("qv")
+    )
+    j = q.crossJoin(emb.filter(F.col("vec_id") >= 10).select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("cv")))
+    dot = F.aggregate(F.zip_with("qv", "cv", lambda x, y: x.cast("double") * y.cast("double")), F.lit(0.0), lambda a, v: a + v)
+    n1 = F.sqrt(F.aggregate("qv", F.lit(0.0), lambda a, v: a + v.cast("double") * v.cast("double")))
+    n2 = F.sqrt(F.aggregate("cv", F.lit(0.0), lambda a, v: a + v.cast("double") * v.cast("double")))
+    cos = dot / (n1 * n2)
+    scored = j.select("q_id", "c_id", F.floor(cos * 1000).cast("bigint").alias("cos_e3"))
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos_e3"), F.asc("c_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= 5)
+
+
+SQL_EMB_TOP5 = """
+WITH q AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+c AS (SELECT vec_id AS c_id, embedding AS cv FROM embeddings WHERE vec_id >= 10),
+scored AS (
+  SELECT q_id, c_id,
+         CAST(floor((list_dot_product(qv, cv) /
+               (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv)))) * 1000) AS BIGINT) AS cos_e3
+  FROM q, c)
+SELECT q_id, c_id, cos_e3, rank FROM (
+  SELECT q_id, c_id, cos_e3, row_number() OVER (PARTITION BY q_id ORDER BY cos_e3 DESC, c_id ASC) AS rank
+  FROM scored)
+WHERE rank <= 5
+"""
+
+
+def q_tpch_pricing_summary(spark, sf_dir):
+    """Aggregation coverage (TPC-H Q1 shape) with exact DECIMAL sums."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") <= "1998-09-02")
+    dq = F.col("l_quantity").cast("decimal(14,2)")
+    dp = F.col("l_extendedprice").cast("decimal(16,2)")
+    dd = F.col("l_discount").cast("decimal(6,2)")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(dq).cast("double").alias("sum_qty"),
+            F.sum(dp).cast("double").alias("sum_base_price"),
+            F.sum((dp * (F.lit(1).cast("decimal(6,2)") - dd)).cast("decimal(24,4)")).cast("double").alias("sum_disc_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+SQL_TPCH_Q1 = """
+SELECT l_returnflag, l_linestatus,
+  CAST(sum(CAST(l_quantity AS DECIMAL(14,2))) AS DOUBLE) AS sum_qty,
+  CAST(sum(CAST(l_extendedprice AS DECIMAL(16,2))) AS DOUBLE) AS sum_base_price,
+  CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(16,2)) * (CAST(1 AS DECIMAL(6,2)) - CAST(l_discount AS DECIMAL(6,2))) AS DECIMAL(24,4))) AS DOUBLE) AS sum_disc_price,
+  count(*) AS count_order
+FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_tpch_top_orders(spark, sf_dir):
+    """Join + top-k coverage (TPC-H Q3 shape): top-10 orders by exact
+    decimal revenue."""
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    dp = F.col("l_extendedprice").cast("decimal(16,2)")
+    dd = F.col("l_discount").cast("decimal(6,2)")
+    rev = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .groupBy("o_orderkey")
+        .agg(F.sum((dp * (F.lit(1).cast("decimal(6,2)") - dd)).cast("decimal(24,4)")).alias("_rev"))
+    )
+    return (
+        rev.orderBy(F.desc("_rev"), F.asc("o_orderkey"))
+        .limit(10)
+        .select("o_orderkey", F.col("_rev").cast("double").alias("revenue"))
+    )
+
+
+SQL_TPCH_Q3 = """
+SELECT o_orderkey, CAST(rev AS DOUBLE) AS revenue FROM (
+  SELECT o_orderkey,
+         sum(CAST(CAST(l_extendedprice AS DECIMAL(16,2)) * (CAST(1 AS DECIMAL(6,2)) - CAST(l_discount AS DECIMAL(6,2))) AS DECIMAL(24,4))) AS rev
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  WHERE c_mktsegment = 'BUILDING'
+  GROUP BY o_orderkey)
+ORDER BY rev DESC, o_orderkey ASC LIMIT 10
+"""
+
+
+def q_events_hourly_rollup(spark, sf_dir):
+    """Batch analog of the streaming windowed aggregation: per-hour,
+    per-type event rollup with exact decimal value sums."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.date_format("ts", "yyyy-MM-dd HH").alias("hour"), F.col("event_type")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+        )
+    )
+
+
+SQL_HOURLY = """
+SELECT strftime(ts, '%Y-%m-%d %H') AS hour, event_type, count(*) AS n,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+
+# --- rows-only checks (no SQL-expressible oracle; pytest covers semantics) ----
+def q_minhash_lsh_pairs(spark, sf_dir):
+    """MinHash/LSH candidate generation (xxhash64 family — not expressible in
+    DuckDB; property-tested in tests/test_blocking.py)."""
+    from merge_machine_spark.functions import analyzers as A
+    from merge_machine_spark.operators.blocking import lsh_candidate_pairs
+
+    docs = _t(spark, sf_dir, "documents").select(F.col("doc_id").cast("string").alias("doc_id"), "text")
+    return lsh_candidate_pairs(docs, "doc_id", A.n_grams(F.col("text")), bands=8, rows=2)
+
+
+def q_simhash_buckets(spark, sf_dir):
+    """SimHash near-dup buckets: 16-bit signature from per-token xxhash64
+    bit votes (rows-only; semantics pytest-verified)."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.lower(F.coalesce(F.col("text"), F.lit(""))), _TOKEN_SPLIT), lambda t: t != F.lit(""))
+    sig = F.lit(0)
+    for i in range(16):
+        mask = 1 << i
+        vote = F.size(F.filter(toks, lambda t, m=mask: F.xxhash64(t).bitwiseAND(F.lit(m)) != 0)) * 2 > F.size(toks)
+        sig = sig + F.when(vote, F.lit(mask)).otherwise(F.lit(0))
+    out = docs.select("doc_id", sig.alias("simhash16"))
+    return out.withColumn("bucket_n", F.count(F.lit(1)).over(Window.partitionBy("simhash16")))
+
+
+def q_connected_components(spark, sf_dir):
+    """Transitive clustering over blocking-pair edges (iterative star joins;
+    rows-only — property-tested against a union-find oracle in pytest)."""
+    from merge_machine_spark.operators.clustering import connected_components
+
+    pairs = _block_pairs(spark, sf_dir).select(
+        F.col("id_a").cast("string").alias("id_a"), F.col("id_b").cast("string").alias("id_b")
+    )
+    return connected_components(pairs)
+
+
+def q_french_analyzer_tokens(spark, sf_dir):
+    """F2/F3 French analyzer over driver text (rows-only; golden-token pytest
+    covers exact semantics)."""
+    from merge_machine_spark.functions import analyzers as A
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", F.explode(A.french_estab(F.col("text"))).alias("token"))
+
+
+# ---------------------------------------------------------------------------
+# contract surface
+# ---------------------------------------------------------------------------
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full ER resolve() over the sf0.001 documents table wrapped
+    into the interleaved-span input shape (BASELINE.json input_hint), ending
+    in cluster assignments."""
+    from merge_machine_spark.plans.pipeline import ResolveConfig, resolve
+
+    sf_dir = "/root/testdata/sf0.001"
+    flat = _t(spark, sf_dir, "documents")
+    half = (F.length("text") / 2).cast("int")
+    spans = F.array(
+        F.struct(
+            F.lit("text").alias("kind"),
+            F.col("text").substr(F.lit(1), half).alias("text"),
+            F.lit(None).cast("string").alias("media_ref"),
+            F.lit(0).alias("offset"),
+        ),
+        F.struct(
+            F.lit("media").alias("kind"),
+            F.lit(None).cast("string").alias("text"),
+            F.concat(F.lit("m://"), F.md5(F.col("doc_id").cast("string"))).alias("media_ref"),
+            F.lit(1).alias("offset"),
+        ),
+        F.struct(
+            F.lit("text").alias("kind"),
+            F.col("text").substr(half + 1, F.length("text")).alias("text"),
+            F.lit(None).cast("string").alias("media_ref"),
+            F.lit(2).alias("offset"),
+        ),
+    )
+    docs = flat.select(F.col("doc_id").cast("string").alias("doc_id"), spans.alias("spans"))
+    cfg = ResolveConfig(
+        block_channel="standard",
+        max_df=None,
+        weights={"tfidf_cosine": 0.5, "jaro_winkler": 0.25, "token_jaccard": 0.25},
+        threshold=0.9,
+    )
+    res = resolve(spark, docs, cfg)
+    clusters = res["cluster_assignments"]
+    sizes = clusters.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return clusters.join(sizes, "cluster_id").select("doc_id", "cluster_id", "cluster_size")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "scan_clean_project": q_scan_clean_project,
+        "special_keyword": q_special_keyword,
+        "tokens_standard": q_tokens_standard,
+        "token_doc_frequency": q_token_doc_frequency,
+        "top_tokens_per_doc": q_top_tokens_per_doc,
+        "exact_dedup_groups": q_exact_dedup_groups,
+        "blocking_pairs": q_blocking_pairs,
+        "pair_token_jaccard": q_pair_token_jaccard,
+        "pair_levenshtein_top1": q_pair_levenshtein_top1,
+        "pair_jaro_winkler": q_pair_jaro_winkler,
+        "cascade_two_tier": q_cascade_two_tier,
+        "confidence_scaling": q_confidence_scaling,
+        "must_not_filter": q_must_not_filter,
+        "exact_override_union": q_exact_override_union,
+        "dedup_reattach": q_dedup_reattach,
+        "rolling_precision_curve": q_rolling_precision_curve,
+        "label_counters": q_label_counters,
+        "lang_id": q_lang_id,
+        "quality_score": q_quality_score,
+        "token_counts": q_token_counts,
+        "doc_fingerprint": q_doc_fingerprint,
+        "embedding_cosine_top5": q_embedding_cosine_top5,
+        "tpch_pricing_summary": q_tpch_pricing_summary,
+        "tpch_top_orders": q_tpch_top_orders,
+        "events_hourly_rollup": q_events_hourly_rollup,
+        # rows-only (non-SQL-expressible; pytest oracles)
+        "minhash_lsh_pairs": q_minhash_lsh_pairs,
+        "simhash_buckets": q_simhash_buckets,
+        "connected_components": q_connected_components,
+        "french_analyzer_tokens": q_french_analyzer_tokens,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "scan_clean_project": SQL_SCAN,
+        "special_keyword": SQL_SPECIAL_KEYWORD,
+        "tokens_standard": _SQL_TOKENS,
+        "token_doc_frequency": SQL_TOKEN_DF,
+        "top_tokens_per_doc": SQL_TOP_TOKENS,
+        "exact_dedup_groups": SQL_EXACT_DEDUP,
+        "blocking_pairs": _SQL_BLOCK_PAIRS,
+        "pair_token_jaccard": SQL_PAIR_JACCARD,
+        "pair_levenshtein_top1": SQL_LEV_TOP1,
+        "pair_jaro_winkler": SQL_JARO_WINKLER,
+        "cascade_two_tier": SQL_CASCADE,
+        "confidence_scaling": SQL_CONFIDENCE,
+        "must_not_filter": SQL_MUST_NOT,
+        "exact_override_union": SQL_EXACT_OVERRIDE,
+        "dedup_reattach": SQL_DEDUP_REATTACH,
+        "rolling_precision_curve": SQL_ROLLING,
+        "label_counters": SQL_LABEL_COUNTERS,
+        "lang_id": SQL_LANG_ID,
+        "quality_score": SQL_QUALITY,
+        "token_counts": SQL_TOKEN_COUNTS,
+        "doc_fingerprint": SQL_FINGERPRINT,
+        "embedding_cosine_top5": SQL_EMB_TOP5,
+        "tpch_pricing_summary": SQL_TPCH_Q1,
+        "tpch_top_orders": SQL_TPCH_Q3,
+        "events_hourly_rollup": SQL_HOURLY,
+    }

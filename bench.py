@@ -1,0 +1,99 @@
+"""Benchmark harness (driver contract).
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1)
+on local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+  {"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": <float>,
+   "pairs_scored": N, "pairs_scored_per_sec": X, "cores": C}
+
+The ER throughput component (BASELINE.json metric: candidate-pairs-scored/sec)
+runs the flagship resolve() over the deterministic interleaved-span synthetic
+table sized to the sf (no external data), because the driver's flat
+``documents`` table is ~5k rows at every sf — far too small to exercise the
+pair plane. Scaling-efficiency evidence (local[8] vs local[32]) is produced
+by scripts/run_scaling.py into BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else 0.1
+
+    import __spark_entry__ as entrymod
+    from merge_machine_spark.plans.pipeline import ResolveConfig, resolve
+    from merge_machine_spark.sources.session import get_spark
+    from merge_machine_spark.sources.synth import generate_documents
+
+    spark = get_spark("bench", cores=cores)
+    timings: dict[str, float] = {}
+
+    # --- driver-table headline queries -----------------------------------
+    qs = entrymod.queries()
+    headline = [
+        "tokens_standard",
+        "token_doc_frequency",
+        "blocking_pairs",
+        "pair_token_jaccard",
+        "pair_jaro_winkler",
+        "pair_levenshtein_top1",
+        "minhash_lsh_pairs",
+        "embedding_cosine_top5",
+        "tpch_pricing_summary",
+        "tpch_top_orders",
+        "events_hourly_rollup",
+        "doc_fingerprint",
+    ]
+    for name in headline:
+        t0 = time.time()
+        qs[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    # --- flagship ER pipeline over the synthetic interleaved table --------
+    n_entities = max(int(sf * 200_000), 2_000)
+    docs = generate_documents(spark, n_entities, seed=42).select("doc_id", "spans")
+    docs = docs.persist()
+    n_docs = docs.count()  # materialize generation outside the timed window
+
+    cfg = ResolveConfig(threshold=0.45)
+    t0 = time.time()
+    res = resolve(spark, docs, cfg)
+    scores = res["pair_scores"].persist()
+    pairs_scored = scores.count()
+    t_score = time.time() - t0
+    t1 = time.time()
+    n_clusters = res["cluster_assignments"].groupBy("cluster_id").count().count()
+    t_cluster = time.time() - t1
+    timings["er_pair_scoring"] = round(t_score, 3)
+    timings["er_clustering"] = round(t_cluster, 3)
+
+    total = round(sum(timings.values()), 3)
+    out = {
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "cores": cores,
+        "er_docs": n_docs,
+        "er_clusters": n_clusters,
+        "pairs_scored": pairs_scored,
+        "pairs_scored_per_sec": round(pairs_scored / max(t_score, 1e-9), 1),
+    }
+    spark.stop()
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -23,11 +23,11 @@ def levenshtein_norm(a: Column | str, b: Column | str) -> Column:
 
 
 def _jaro(s1: str, s2: str) -> float:
-    if s1 == s2:
-        return 1.0
     len1, len2 = len(s1), len(s2)
     if len1 == 0 or len2 == 0:
-        return 0.0
+        return 0.0  # DuckDB convention: empty-vs-anything (incl. empty) is 0
+    if s1 == s2:
+        return 1.0
     match_window = max(len1, len2) // 2 - 1
     if match_window < 0:
         match_window = 0

@@ -101,6 +101,7 @@ def score_pairs(
     channel: str = "standard",
     features: tuple[str, ...] = ("lev_norm", "jaro_winkler", "token_jaccard"),
     prefix: str = "",
+    jw_prefix: int | None = None,
 ) -> DataFrame:
     """Attach per-pair similarity features for one (proj_a, proj_b, channel)
     clause. ``pairs`` has (id_a, id_b[, ...]); ``side_a``/``side_b`` carry
@@ -112,9 +113,11 @@ def score_pairs(
     out = pairs.join(a, "id_a").join(b, "id_b")
     tok_a = A.analyze(F.col("_txt_a"), channel)
     tok_b = A.analyze(F.col("_txt_b"), channel)
+    jw_a = F.substring("_txt_a", 1, jw_prefix) if jw_prefix else F.col("_txt_a")
+    jw_b = F.substring("_txt_b", 1, jw_prefix) if jw_prefix else F.col("_txt_b")
     fmap: dict[str, Column] = {
         "lev_norm": S.levenshtein_norm("_txt_a", "_txt_b"),
-        "jaro_winkler": S.jaro_winkler("_txt_a", "_txt_b"),
+        "jaro_winkler": S.jaro_winkler(jw_a, jw_b),
         "token_jaccard": S.token_jaccard(tok_a, tok_b),
         "token_overlap": S.token_overlap(tok_a, tok_b).cast("double"),
     }

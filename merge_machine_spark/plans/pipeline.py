@@ -59,8 +59,14 @@ class ResolveConfig:
         }
     )
     threshold: float = 0.5
-    # optional second threshold pass: pairs in [review_threshold, threshold)
-    # are kept in pair_scores for review but not linked
+    # cascade scoring: pairs below this cheap TF-IDF floor never reach the
+    # expensive (Python-side) features — at 100 TB the JW/feature UDFs are
+    # the cost center, and a pair whose TF-IDF is near zero cannot clear the
+    # final threshold anyway (max non-tfidf contribution < threshold).
+    prefilter_tfidf: float = 0.10
+    # Jaro-Winkler operates on a bounded prefix: O(len^2) per pair, and the
+    # discriminating signal saturates well before 96 chars.
+    jw_prefix: int = 96
     n_docs_hint: int | None = None
 
 
@@ -77,16 +83,42 @@ def _pair_scores(proj: DataFrame, cfg: ResolveConfig, n_docs: int) -> DataFrame:
             .groupBy("id_a", "id_b")
             .agg(F.max("tfidf_cosine").alias("tfidf_cosine"))
         )
-    feats = [f for f in ("lev_norm", "jaro_winkler", "token_jaccard") if f in cfg.weights]
-    scored = score_pairs(
-        pairs, proj, proj, cfg.block_proj, cfg.block_proj, channel=cfg.block_channel, features=tuple(feats)
-    )
+    if cfg.prefilter_tfidf:
+        pairs = pairs.filter(F.col("tfidf_cosine") >= F.lit(cfg.prefilter_tfidf))
+
+    # Analyze each doc ONCE per side (n_docs analyzer calls, not n_pairs):
+    # token arrays travel through the pair join and per-pair features are
+    # pure JVM array ops; only Jaro-Winkler (bounded prefix) stays Python.
+    from ..functions import similarity as S
+
+    txt = F.col(cfg.block_proj)
+    side_cols = [F.col("doc_id")]
+    if cfg.jw_prefix and ("jaro_winkler" in cfg.weights or "lev_norm" in cfg.weights):
+        side_cols.append(F.substring(txt, 1, cfg.jw_prefix).alias("_txt"))
+    elif "jaro_winkler" in cfg.weights or "lev_norm" in cfg.weights:
+        side_cols.append(txt.alias("_txt"))
+    if "token_jaccard" in cfg.weights:
+        side_cols.append(F.array_distinct(A.analyze(txt, cfg.block_channel)).alias("_tok"))
     if "int_jaccard" in cfg.weights:
-        int_scored = score_pairs(
-            scored, proj, proj, cfg.block_proj, cfg.block_proj, channel="integers", features=("token_jaccard",),
-            prefix="int_",
-        )
-        scored = int_scored.withColumnRenamed("int_token_jaccard", "int_jaccard")
+        side_cols.append(F.array_distinct(A.analyze(txt, "integers")).alias("_toki"))
+    side = proj.select(*side_cols)
+    a = side.select([F.col(c).alias(f"{c}_a" if c != "doc_id" else "id_a") for c in side.columns])
+    b = side.select([F.col(c).alias(f"{c}_b" if c != "doc_id" else "id_b") for c in side.columns])
+    scored = pairs.join(a, "id_a").join(b, "id_b")
+
+    fmap = {}
+    if "jaro_winkler" in cfg.weights:
+        fmap["jaro_winkler"] = S.jaro_winkler(F.col("_txt_a"), F.col("_txt_b"))
+    if "lev_norm" in cfg.weights:
+        fmap["lev_norm"] = S.levenshtein_norm("_txt_a", "_txt_b")
+    if "token_jaccard" in cfg.weights:
+        fmap["token_jaccard"] = S.token_jaccard(F.col("_tok_a"), F.col("_tok_b"))
+    if "int_jaccard" in cfg.weights:
+        fmap["int_jaccard"] = S.token_jaccard(F.col("_toki_a"), F.col("_toki_b"))
+    for name, expr in fmap.items():
+        scored = scored.withColumn(name, expr)
+    scored = scored.drop("_txt_a", "_txt_b", "_tok_a", "_tok_b", "_toki_a", "_toki_b")
+
     total = None
     for name, w in cfg.weights.items():
         piece = F.coalesce(F.col(name), F.lit(0.0)) * F.lit(float(w))
