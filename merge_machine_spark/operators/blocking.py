@@ -190,6 +190,9 @@ def lsh_candidate_pairs(
     pathological buckets (all-identical boilerplate) the same way df-cap
     bounds token blocks."""
     sigs = df.select(F.col(id_col).alias("id"), minhash_signature(tokens, bands * rows).alias("sig"))
+    # empty token sets have no signature — they must not all collide on the
+    # hash of the empty band
+    sigs = sigs.filter(F.size("sig") > 0)
     bandtab = lsh_bands(sigs, "id", "sig", bands, rows)
     sizes = bandtab.groupBy("band", "band_hash").agg(F.count(F.lit(1)).alias("bucket_n"))
     if report is not None:

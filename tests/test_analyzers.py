@@ -1,0 +1,87 @@
+"""Golden-token tests per analyzer channel (SURVEY.md §5.2 item 1;
+fixtures shape per FIXTURES.md §5). Covers accents, elisions, legal-form
+stopwords, abbreviation/acronym synonyms, 3-grams, integer shingles with
+leading zeros."""
+
+from pyspark.sql import functions as F
+
+from merge_machine_spark.functions import analyzers as A
+from merge_machine_spark.functions.french import french_estab_tokens, french_tokens, light_stem
+
+
+def _run(spark, col_expr, text):
+    df = spark.createDataFrame([(text,)], "t string")
+    return df.select(col_expr.alias("out")).collect()[0]["out"]
+
+
+def test_special_keyword_char_map(spark):
+    # char-map: '-' -> space, fold é/è/ê/ë/à/ü, keyword tokenizer, lowercase
+    assert _run(spark, A.special_keyword(F.col("t")), "Pont-à-Mousson") == ["pont a mousson"]
+    # char filter precedes the lowercase filter (reference chain order), so
+    # only lowercase accent chars fold — 'Ü' survives as 'ü' after lowering
+    assert _run(spark, A.special_keyword(F.col("t")), "Fenêtre ültra") == ["fenetre ultra"]
+    assert _run(spark, A.special_keyword(F.col("t")), "") == []
+    assert _run(spark, A.special_keyword(F.col("t")), None) == []
+
+
+def test_standard_tokens(spark):
+    assert _run(spark, A.standard(F.col("t")), "Hello,  World 42!") == ["hello", "world", "42"]
+
+
+def test_french_elision_stop_stem():
+    # elision l'/d', stopword removal, accent folding, light stemming
+    toks = french_tokens("l'école des Étangs")
+    assert toks == ["ecol", "etang"]
+    # stopwords: 'de', 'la' dropped
+    assert french_tokens("la maison de la musique") == ["maison", "musiqu"]
+
+
+def test_french_estab_synonyms():
+    # abbreviation expansion (agric -> agricole), legal-form stopwords dropped
+    assert french_estab_tokens("Lyc Agric SARL") == ["lyce", "agricol"]
+    # multi-expansion alias: loc -> location + local
+    assert french_estab_tokens("loc") == ["locat", "local"]
+    # acronym expansion keeps inner stopwords (reference filter-chain order)
+    toks = french_estab_tokens("CNRS")
+    assert toks[0:2] == ["centr", "national"]
+    assert "recherch" in toks
+
+
+def test_light_stem_rules():
+    assert light_stem("chevaux") == "cheval"
+    assert light_stem("maisons") == "maison"
+    assert light_stem("etablissement") == "etablis"  # issement->iss, then ss collapse
+    assert light_stem("formation") == "format"
+
+
+def test_n_grams(spark):
+    assert _run(spark, A.n_grams(F.col("t")), "Abc de") == ["abc"]  # 'de' shorter than 3
+    assert _run(spark, A.n_grams(F.col("t")), "abcd") == ["abc", "bcd"]
+    assert _run(spark, A.n_grams(F.col("t")), "a-b") == []
+
+
+def test_integers_shingles(spark):
+    # leading-zero trim + adjacency shingles up to 5, '' separator
+    out = _run(spark, A.integers(F.col("t")), "rue 007 bis 12")
+    assert "7" in out and "12" in out and "712" in out
+    assert _run(spark, A.integers(F.col("t")), "no digits") == []
+    # ES semantics: all-zero run trims to empty and is dropped from output
+    out2 = _run(spark, A.integers(F.col("t")), "0 5")
+    assert "5" in out2
+
+
+def test_phonetic_soundex(spark):
+    out = _run(spark, A.phonetic(F.col("t")), "Robert Rupert")
+    assert out[0] == out[1] == "R163"
+
+
+def test_gazetteer_keep_translate(spark):
+    gaz = {"saint denis": "saint-denis", "paris": "paris", "lyon": "lyon"}
+    out = _run(spark, A.gazetteer(F.col("t"), gaz), "12 rue de Paris, Saint Denis")
+    assert "paris" in out and "saint-denis" in out
+    # unknown tokens dropped
+    assert all(t in {"paris", "saint-denis", "lyon"} for t in out)
+
+
+def test_keyword_exact(spark):
+    assert _run(spark, A.keyword(F.col("t")), "As Is") == ["As Is"]

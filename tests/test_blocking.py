@@ -1,0 +1,87 @@
+"""Blocking operator tests (SURVEY.md §5.2 item 2): expected candidate sets
+on a tiny deterministic table, df-cap behavior, salted-join equivalence,
+MinHash/LSH properties."""
+
+from pyspark.sql import functions as F
+
+from merge_machine_spark.functions import analyzers as A
+from merge_machine_spark.operators.blocking import (
+    BlockingReport,
+    candidate_pairs,
+    cap_document_frequency,
+    document_frequency,
+    explode_tokens,
+    lsh_candidate_pairs,
+    minhash_signature,
+    salted_token_join,
+)
+
+
+def _toy_tokens(spark):
+    rows = [
+        ("d1", ["alpha", "beta"]),
+        ("d2", ["beta", "gamma"]),
+        ("d3", ["gamma", "delta"]),
+        ("d4", ["omega"]),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "toks"])
+    return explode_tokens(df, "doc_id", F.col("toks"))
+
+
+def test_candidate_pairs_self_join(spark):
+    tokens = _toy_tokens(spark)
+    pairs = {(r["id_a"], r["id_b"]) for r in candidate_pairs(tokens, max_df=None).collect()}
+    # d1-d2 share beta, d2-d3 share gamma; d4 isolated; canonical a<b
+    assert pairs == {("d1", "d2"), ("d2", "d3")}
+
+
+def test_df_cap_drops_hot_tokens(spark):
+    tokens = _toy_tokens(spark)
+    extra = spark.createDataFrame([(f"x{i}", "beta") for i in range(10)], ["id", "token"])
+    tokens = tokens.unionByName(extra)
+    report = BlockingReport(channel="test")
+    capped = cap_document_frequency(tokens, max_df=3, report=report)
+    toks_left = {r["token"] for r in capped.select("token").distinct().collect()}
+    assert "beta" not in toks_left  # df=12 > 3
+    assert "gamma" in toks_left
+    assert report.n_tokens_dropped == 1 and report.dropped_mass >= 10
+
+
+def test_salted_join_equals_plain_join(spark):
+    """Salting is a physical rewrite — results must be identical to the
+    plain join."""
+    tokens = _toy_tokens(spark)
+    extra = spark.createDataFrame([(f"h{i}", "hot") for i in range(30)], ["id", "token"])
+    left = tokens.unionByName(extra)
+    plain = (
+        left.alias("a").join(left.alias("b"), "token")
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"), "token")
+    )
+    salted = salted_token_join(left, left, n_salt=4, hot_df_threshold=5)
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+
+
+def test_minhash_identical_docs_same_signature(spark):
+    df = spark.createDataFrame([("a", "the quick brown fox"), ("b", "the quick brown fox")], ["doc_id", "t"])
+    sigs = df.select("doc_id", minhash_signature(A.n_grams(F.col("t")), 16).alias("sig")).collect()
+    s = {r["doc_id"]: r["sig"] for r in sigs}
+    assert s["a"] == s["b"]
+    assert len(s["a"]) == 16
+
+
+def test_lsh_finds_near_duplicates(spark):
+    rows = [
+        ("a", "the quick brown fox jumps over the lazy dog"),
+        ("b", "the quick brown fox jumps over the lazy cat"),  # near-dup of a
+        ("c", "completely different content entirely unrelated words"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "t"])
+    pairs = {(r["id_a"], r["id_b"]) for r in
+             lsh_candidate_pairs(df, "doc_id", A.n_grams(F.col("t")), bands=8, rows=2).collect()}
+    assert ("a", "b") in pairs
+    assert ("a", "c") not in pairs and ("b", "c") not in pairs
+
+
+def test_lsh_empty_tokens_no_pairs(spark):
+    df = spark.createDataFrame([("a", ""), ("b", "")], ["doc_id", "t"])
+    assert lsh_candidate_pairs(df, "doc_id", A.n_grams(F.col("t")), bands=4, rows=2).count() == 0

@@ -1,0 +1,118 @@
+"""Calibration tests (SURVEY.md §5.2 item 2, L-series semantics):
+compute_metrics fixed-vector cases + properties, enumeration/pruning,
+precision-filter schedule, params round-trip, auto-label."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from merge_machine_spark.operators.scoring import Clause
+from merge_machine_spark.plans.calibration import (
+    MIN_OBSERVATIONS,
+    Template,
+    auto_label,
+    calibrate_cascade,
+    calibrate_template,
+    compute_metrics,
+    enumerate_templates,
+    export_params,
+    filter_by_precision,
+    load_params,
+    prune_dominated,
+)
+
+
+def test_compute_metrics_no_matches_sentinel():
+    th, p, r, s = compute_metrics(np.array([1.0, 0.5]), np.array([False, False]))
+    assert th == 1000.0 and p == 0 and r == 0 and s == 0
+
+
+def test_compute_metrics_threshold_maximizes_score():
+    """Property (es_labeller.py:392-397): the returned threshold's index
+    maximizes the custom rolling score (subject to MIN_OBSERVATIONS)."""
+    rng = np.random.RandomState(3)
+    for _ in range(10):
+        n = 30
+        scores = np.sort(rng.rand(n))[::-1]
+        labels = rng.rand(n) < np.linspace(0.9, 0.1, n)  # high scores more likely matches
+        if labels.sum() == 0:
+            continue
+        th, p, r, s = compute_metrics(scores, labels)
+        # recompute rolling score and check s is its max over allowed indices
+        order = np.argsort(-scores, kind="stable")
+        m = labels[order]
+        prec = m.cumsum() / np.minimum(np.arange(n) + 1, n)
+        rec = m.cumsum() / n
+        f_p = lambda x: (2 * max(x - 0.95, 0) + min(0.95 * (x / 0.95) ** 4, 0.95)) ** 1.5 / 2
+        f_r = lambda x: max(x - 0.3, 0) + min(0.3 * (x / 0.3) ** 4, 0.3)
+        rolling = np.array([f_p(a) * f_r(b) for a, b in zip(prec, rec)])
+        assert s == pytest.approx(rolling[MIN_OBSERVATIONS:].max() if rolling.argmax() < MIN_OBSERVATIONS else rolling.max())
+
+
+def test_compute_metrics_full_set_low_threshold():
+    # all matches -> best index is the whole set -> epsilon threshold
+    th, p, r, s = compute_metrics(np.array([0.9, 0.8, 0.7, 0.6, 0.5]), np.ones(5, dtype=bool))
+    assert th == 0.0001 and p == 1.0 and r == 1.0
+
+
+def test_enumerate_and_prune():
+    ts = enumerate_templates([("a", "x"), ("b", "y")], ["french_estab", "n_grams", "integers"], max_levels=3)
+    assert all(any(c.bool_lvl == "must" for c in t.clauses) for t in ts)
+    # multi-pairing rule: compounds must span >=2 distinct pairings
+    for t in ts:
+        if len(t.clauses) >= 2:
+            assert len({(c.proj_a, c.proj_b) for c in t.clauses}) >= 2
+    pruned = prune_dominated(ts)
+    for t in pruned:
+        seen = {}
+        for c in t.clauses:
+            k = (c.bool_lvl, c.proj_a, c.proj_b)
+            assert k not in seen
+            seen[k] = c
+
+
+def test_filter_by_precision_schedule():
+    mk = lambda p: Template([Clause("must", "a", "x", "standard", 1.0)], precision=p, score=p)
+    ts = [mk(0.2), mk(0.45), mk(0.6), mk(0.9)]
+    # floor 0.5 keeps {0.6, 0.9} but min_keep=3 backfills to the top-3
+    # (reference keeps >= MIN_NUM_QUERIES=3, es_labeller.py:2108-2110)
+    assert len(filter_by_precision(ts, num_positives=20)) == 3
+    assert len(filter_by_precision(ts, num_positives=0)) == 4
+
+
+def test_calibrate_template_and_cascade():
+    # synthetic labelled pairs: feature 'f1' separates perfectly at 0.5
+    rows = []
+    for i in range(20):
+        # matching sources: best hit is a true match at 0.6+
+        rows.append({"id_a": f"s{i}", "id_b": f"r{i}", "label": "y", "f1": 0.6 + 0.01 * i})
+        # non-matching sources: best hit is a labelled negative at <=0.4
+        rows.append({"id_a": f"t{i}", "id_b": f"rx{i}", "label": "n", "f1": 0.4 - 0.01 * i})
+    pdf = pd.DataFrame(rows)
+    tpl = Template([Clause("must", "t", "t", "ch", 1.0)])
+    cal = calibrate_template(pdf, tpl, clause_col=lambda c: "f1")
+    assert cal.precision == 1.0
+    assert 0.4 < cal.thresh <= 0.62
+    cascade = calibrate_cascade(pdf, [tpl], clause_col=lambda c: "f1")
+    assert len(cascade) == 1 and cascade[0].score > 0
+
+
+def test_params_roundtrip():
+    t = Template([Clause("must", "full_text", "full_text", "french_estab", 1.0)], 0.45, 0.99, 0.9, 0.5)
+    blob = export_params([t], exact_pairs=[("a", "b")])
+    cascade, cfg = load_params(blob)
+    assert cascade[0].clauses == t.clauses and cascade[0].thresh == 0.45
+    assert cfg["exact_pairs"] == [["a", "b"]]
+
+
+def test_auto_label(spark):
+    src = spark.createDataFrame([("s1", "K1"), ("s2", "K2"), ("s3", None)], ["doc_id", "k"])
+    ref = spark.createDataFrame([("r1", "K1"), ("r2", "K3")], ["doc_id", "k"])
+    got = {(r["doc_id_a"], r["doc_id_b"]): r["label"] for r in auto_label(src, ref, "k", "k").collect()}
+    assert got == {("s1", "r1"): "y"}
+
+
+def test_filter_by_precision_10_positives():
+    mk = lambda p: Template([Clause("must", "a", "x", "standard", 1.0)], precision=p, score=p)
+    ts = [mk(0.2), mk(0.45), mk(0.6), mk(0.9)]
+    assert len(filter_by_precision(ts, num_positives=10)) == 3

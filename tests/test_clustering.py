@@ -1,0 +1,101 @@
+"""Connected-components property tests (SURVEY.md §5.2 item 5): parity with
+a union-find oracle on seeded random graphs, symmetry/permutation
+invariance, partition-count invariance, singleton handling."""
+
+import random
+
+from pyspark.sql import functions as F
+
+from merge_machine_spark.operators.clustering import (
+    assignments_with_singletons,
+    connected_components,
+    pairwise_f1,
+)
+
+
+def _union_find_oracle(edges):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # path-compress fully, label = min member
+    comp = {}
+    for n in list(parent):
+        comp[n] = find(n)
+    return comp
+
+
+def _random_edges(seed, n_nodes=60, n_edges=70):
+    rng = random.Random(seed)
+    return [
+        (f"n{rng.randrange(n_nodes):03d}", f"n{rng.randrange(n_nodes):03d}")
+        for _ in range(n_edges)
+    ]
+
+
+def test_cc_matches_union_find_oracle(spark):
+    for seed in (1, 2, 3):
+        edges = _random_edges(seed)
+        df = spark.createDataFrame(edges, ["id_a", "id_b"])
+        got = {r["doc_id"]: r["cluster_id"] for r in connected_components(df).collect()}
+        oracle = _union_find_oracle([(a, b) for a, b in edges if a != b])
+        assert got == oracle, f"seed {seed}"
+
+
+def test_cc_direction_invariance(spark):
+    edges = _random_edges(7)
+    fwd = spark.createDataFrame(edges, ["id_a", "id_b"])
+    rev = spark.createDataFrame([(b, a) for a, b in edges], ["id_a", "id_b"])
+    a = sorted(map(tuple, connected_components(fwd).collect()))
+    b = sorted(map(tuple, connected_components(rev).collect()))
+    assert a == b
+
+
+def test_cc_partition_invariance(spark):
+    edges = _random_edges(11)
+    d1 = spark.createDataFrame(edges, ["id_a", "id_b"]).repartition(1)
+    d16 = spark.createDataFrame(edges, ["id_a", "id_b"]).repartition(16)
+    assert sorted(map(tuple, connected_components(d1).collect())) == sorted(
+        map(tuple, connected_components(d16).collect())
+    )
+
+
+def test_cc_long_chain(spark):
+    """A path graph needs the full O(log n) iteration count — exercises
+    convergence, not just one round."""
+    n = 64
+    edges = [(f"c{i:03d}", f"c{i+1:03d}") for i in range(n - 1)]
+    df = spark.createDataFrame(edges, ["id_a", "id_b"])
+    got = {r["doc_id"]: r["cluster_id"] for r in connected_components(df).collect()}
+    assert set(got.values()) == {"c000"} and len(got) == n
+
+
+def test_singletons_rejoin(spark):
+    docs = spark.createDataFrame([("a",), ("b",), ("c",), ("z",)], ["doc_id"])
+    edges = spark.createDataFrame([("a", "b")], ["id_a", "id_b"])
+    assign = assignments_with_singletons(docs, connected_components(edges))
+    got = {r["doc_id"]: r["cluster_id"] for r in assign.collect()}
+    assert got == {"a": "a", "b": "a", "c": "c", "z": "z"}
+
+
+def test_pairwise_f1_perfect_and_split(spark):
+    truth = spark.createDataFrame(
+        [("a", "e1"), ("b", "e1"), ("c", "e1"), ("x", "e2")], ["doc_id", "entity_id"]
+    )
+    perfect = truth.select("doc_id", F.col("entity_id").alias("cluster_id"))
+    m = pairwise_f1(perfect, truth)
+    assert m["f1"] == 1.0
+    split = spark.createDataFrame(
+        [("a", "k1"), ("b", "k1"), ("c", "k2"), ("x", "k3")], ["doc_id", "cluster_id"]
+    )
+    m2 = pairwise_f1(split, truth)
+    assert m2["precision"] == 1.0 and m2["recall"] < 1.0
