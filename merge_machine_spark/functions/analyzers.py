@@ -191,6 +191,18 @@ def phonetic(col: Column | str) -> Column:
 
 
 # --- registry -------------------------------------------------------------------
+def _city(col: Column | str) -> Column:
+    from .gazetteers import city
+
+    return city(_c(col))
+
+
+def _country(col: Column | str) -> Column:
+    from .gazetteers import country
+
+    return country(_c(col))
+
+
 CHANNELS = {
     "special_keyword": special_keyword,
     "keyword": keyword,
@@ -201,6 +213,8 @@ CHANNELS = {
     "n_grams": n_grams,
     "integers": integers,
     "phonetic": phonetic,
+    "city": _city,      # F6, mini-gazetteer fixture (swap dim at scale)
+    "country": _country,  # F7
 }
 
 

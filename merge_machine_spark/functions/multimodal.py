@@ -1,0 +1,104 @@
+"""Multimodal (media) column operators.
+
+Task mandate: treat image/audio/video as opaque ``binary``/ref columns with
+typed metadata; make the Spark-side plumbing (schema, partitioning, Arrow
+batch shape, UDF signatures) real and tested, while the actual codec work is
+STUBBED — this container has no image/audio libraries. Every stub is
+deterministic so pipelines and tests are reproducible; swap `_decode_stub`
+for a real decoder (PIL/torchaudio/...) on a cluster with the libs baked in.
+
+Pattern: ``mapInPandas`` over batches so each task holds only one Arrow
+batch of media bytes in memory (never collect; never per-row Python UDFs).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.StringType(), False),
+        T.StructField("media_ref", T.StringType(), False),
+        T.StructField("media_kind", T.StringType(), True),  # image|audio|video (from ref prefix)
+        T.StructField("feature", T.ArrayType(T.FloatType()), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("decode_ok", T.BooleanType(), False),
+    ]
+)
+
+FEATURE_DIM = 16
+
+
+def _decode_stub(media_ref: str) -> tuple[np.ndarray, int, int]:
+    """STUB decoder. Real implementation would fetch bytes for ``media_ref``
+    and decode (e.g. PIL.Image.open -> resize -> embed). Here: a
+    deterministic pseudo-feature from the ref hash, so partitioning/schema/
+    batch plumbing is exercised end-to-end. Raises NotImplementedError for
+    refs explicitly marked as requiring a real codec."""
+    if media_ref.startswith("m!//"):
+        raise NotImplementedError("real media decoding requires codec libraries (PIL/ffmpeg)")
+    h = hashlib.sha256(media_ref.encode()).digest()
+    vec = np.frombuffer(h[:FEATURE_DIM * 2], dtype=np.uint16).astype(np.float32)
+    vec = vec / np.linalg.norm(vec)
+    width = 64 + h[0] % 192
+    height = 64 + h[1] % 192
+    return vec, width, height
+
+
+def extract_media_features(docs: DataFrame, batch_size_hint: int | None = None) -> DataFrame:
+    """documents(doc_id, spans) -> one row per media span with a feature
+    vector and metadata. Media spans explode JVM-side (so text bytes are
+    pruned before Python); only (doc_id, media_ref) crosses into Arrow."""
+    media = docs.select(
+        "doc_id",
+        F.explode(F.filter("spans", lambda s: s["kind"] == F.lit("media"))).alias("s"),
+    ).select("doc_id", F.col("s.media_ref").alias("media_ref"))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id, ref in zip(pdf["doc_id"], pdf["media_ref"]):
+                try:
+                    vec, w, h = _decode_stub(ref)
+                    out.append((doc_id, ref, "image", vec.tolist(), w, h, True))
+                except NotImplementedError:
+                    out.append((doc_id, ref, None, None, None, None, False))
+            yield pd.DataFrame(
+                out, columns=["doc_id", "media_ref", "media_kind", "feature", "width", "height", "decode_ok"]
+            )
+
+    return media.mapInPandas(run, schema=MEDIA_FEATURE_SCHEMA)
+
+
+def media_dedup_pairs(features: DataFrame, threshold: float = 0.999) -> DataFrame:
+    """Near-duplicate media via feature cosine over exact-bucket blocking
+    (rounded leading feature components as the key) — the media analog of
+    text blocking. Returns canonical (id_a < id_b) pairs."""
+    from ..functions.similarity import cosine_embeddings
+
+    keyed = features.filter(F.col("decode_ok")).select(
+        F.col("media_ref"),
+        F.col("feature"),
+        F.concat_ws(
+            ",", *[F.round(F.element_at("feature", i + 1), 2).cast("string") for i in range(4)]
+        ).alias("bucket"),
+    ).dropDuplicates(["media_ref"])
+    a, b = keyed.alias("a"), keyed.alias("b")
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("a.media_ref") < F.col("b.media_ref"))
+        .select(
+            F.col("a.media_ref").alias("ref_a"),
+            F.col("b.media_ref").alias("ref_b"),
+            cosine_embeddings(F.col("a.feature"), F.col("b.feature")).alias("cos"),
+        )
+        .filter(F.col("cos") >= threshold)
+    )

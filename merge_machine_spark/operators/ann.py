@@ -1,0 +1,100 @@
+"""Approximate nearest-neighbor search over an embedding column.
+
+Training-data-pipeline addition (task mandate): brute-force cosine top-k as
+the exact baseline, and an LSH-bucketed (random-hyperplane / SimHash-style)
+variant as the scale path — at 10^12 rows the cross join is impossible; the
+bucketed variant only scores within Hamming-adjacent hyperplane buckets.
+
+All JVM-side: dot products via zip_with/aggregate higher-order functions;
+hyperplanes are deterministic pseudo-random vectors derived from xxhash64 so
+the plan is reproducible with no driver-side randomness.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.similarity import cosine_embeddings
+
+
+def brute_force_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    id_q: str = "vec_id",
+    id_c: str = "vec_id",
+    vec_q: str = "embedding",
+    vec_c: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k: cross join + window. The baseline the bucketed
+    variant is measured against (recall@k)."""
+    q = queries.select(F.col(id_q).alias("q_id"), F.col(vec_q).alias("qv"))
+    c = corpus.select(F.col(id_c).alias("c_id"), F.col(vec_c).alias("cv"))
+    scored = q.crossJoin(c).select("q_id", "c_id", cosine_embeddings(F.col("qv"), F.col("cv")).alias("cos"))
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("c_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def _hyperplane_sign(vec: Column, plane_seed: Column, dim: int) -> Column:
+    """Sign of <v, h_seed> where h_seed[i] = centered xxhash64(seed, i) —
+    a deterministic pseudo-random hyperplane, no UDF, no stored planes."""
+    comps = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda i: F.element_at(vec, i + 1).cast("double")
+        * (F.pmod(F.xxhash64(plane_seed, i), F.lit(1000)).cast("double") - 499.5),
+    )
+    return (F.aggregate(comps, F.lit(0.0), lambda a, v: a + v) >= 0).cast("int")
+
+
+def hyperplane_bucket(vec: Column, n_planes: int, dim: int) -> Column:
+    """Random-hyperplane LSH bucket id: n_planes sign bits packed into an
+    int. Cosine-similar vectors agree on most bits."""
+    bucket = F.lit(0)
+    for p in range(n_planes):
+        bucket = bucket + _hyperplane_sign(vec, F.lit(p), dim) * F.lit(1 << p)
+    return bucket
+
+
+def lsh_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    n_planes: int = 8,
+    dim: int = 64,
+    n_probes: int = 1,
+    id_q: str = "vec_id",
+    id_c: str = "vec_id",
+    vec_q: str = "embedding",
+    vec_c: str = "embedding",
+) -> DataFrame:
+    """Bucketed ANN: score only candidates in the query's hyperplane bucket
+    (plus ``n_probes-1`` single-bit-flip neighbor buckets — multiprobe).
+    Equi-join on bucket id replaces the cross join: at 10^12 rows the join
+    is a shuffle on ~2^n_planes keys, each bucket independently scored."""
+    c = corpus.select(
+        F.col(id_c).alias("c_id"), F.col(vec_c).alias("cv"),
+        hyperplane_bucket(F.col(vec_c), n_planes, dim).alias("bucket"),
+    )
+    q0 = queries.select(
+        F.col(id_q).alias("q_id"), F.col(vec_q).alias("qv"),
+        hyperplane_bucket(F.col(vec_q), n_planes, dim).alias("bucket0"),
+    )
+    probes = [F.col("bucket0")]
+    for b in range(min(max(n_probes - 1, 0), n_planes)):
+        probes.append(F.col("bucket0").bitwiseXOR(F.lit(1 << b)))
+    q = q0.select("q_id", "qv", F.explode(F.array(*probes)).alias("bucket"))
+    scored = q.join(c, "bucket").select(
+        "q_id", "c_id", cosine_embeddings(F.col("qv"), F.col("cv")).alias("cos")
+    ).groupBy("q_id", "c_id").agg(F.max("cos").alias("cos"))
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("c_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def recall_at_k(exact: DataFrame, approx: DataFrame, k: int = 10) -> float:
+    """Fraction of exact top-k pairs recovered by the approximate search."""
+    e = exact.filter(F.col("rank") <= k).select("q_id", "c_id")
+    a = approx.filter(F.col("rank") <= k).select("q_id", "c_id")
+    hit = e.join(a, ["q_id", "c_id"], "left_semi").count()
+    total = e.count()
+    return hit / total if total else 1.0

@@ -126,6 +126,68 @@ def score_pairs(
     return out.drop("_txt_a", "_txt_b")
 
 
+def fused_pair_features(
+    pairs: DataFrame,
+    side_a: DataFrame,
+    side_b: DataFrame,
+    col_a: str,
+    col_b: str,
+    channel: str,
+    weights: dict[str, float],
+    jw_prefix: int | None = 96,
+    broadcast_sides: bool = True,
+    score_col: str = "score",
+) -> DataFrame:
+    """Scale path for pair feature scoring: analyze each doc ONCE per side
+    (n_docs analyzer calls, not n_pairs), ship the per-doc payload (bounded
+    text prefix + distinct token arrays) to the pair table — broadcast when
+    requested so the pair shuffle carries only ids — and compute features as
+    JVM array ops; only Jaro-Winkler (bounded prefix) stays Python/Arrow.
+    Adds each feature column named by ``weights`` plus the weighted-sum
+    ``score_col`` (a pre-existing 'tfidf_cosine' column on ``pairs`` is used
+    as-is when weighted)."""
+    from ..functions import analyzers as A
+    from ..functions import similarity as S
+
+    def mk_side(df: DataFrame, col: str):
+        txt = F.col(col)
+        cols = [F.col("doc_id")]
+        if "jaro_winkler" in weights or "lev_norm" in weights:
+            cols.append((F.substring(txt, 1, jw_prefix) if jw_prefix else txt).alias("_txt"))
+        if "token_jaccard" in weights:
+            cols.append(F.array_distinct(A.analyze(txt, channel)).alias("_tok"))
+        if "int_jaccard" in weights:
+            cols.append(F.array_distinct(A.analyze(txt, "integers")).alias("_toki"))
+        return df.select(*cols)
+
+    a = mk_side(side_a, col_a)
+    b = mk_side(side_b, col_b)
+    a = a.select([F.col(c).alias(f"{c}_a" if c != "doc_id" else "id_a") for c in a.columns])
+    b = b.select([F.col(c).alias(f"{c}_b" if c != "doc_id" else "id_b") for c in b.columns])
+    if broadcast_sides:
+        a, b = F.broadcast(a), F.broadcast(b)
+    scored = pairs.join(a, "id_a").join(b, "id_b")
+
+    fmap: dict[str, Column] = {}
+    if "jaro_winkler" in weights:
+        fmap["jaro_winkler"] = S.jaro_winkler(F.col("_txt_a"), F.col("_txt_b"))
+    if "lev_norm" in weights:
+        fmap["lev_norm"] = S.levenshtein_norm("_txt_a", "_txt_b")
+    if "token_jaccard" in weights:
+        fmap["token_jaccard"] = S.token_jaccard(F.col("_tok_a"), F.col("_tok_b"))
+    if "int_jaccard" in weights:
+        fmap["int_jaccard"] = S.token_jaccard(F.col("_toki_a"), F.col("_toki_b"))
+    for name, expr in fmap.items():
+        scored = scored.withColumn(name, expr)
+    scored = scored.drop("_txt_a", "_txt_b", "_tok_a", "_tok_b", "_toki_a", "_toki_b")
+
+    total = None
+    for name, w in weights.items():
+        piece = F.coalesce(F.col(name), F.lit(0.0)) * F.lit(float(w))
+        total = piece if total is None else total + piece
+    return scored.withColumn(score_col, total)
+
+
 # ---------------------------------------------------------------------------
 # compound-matcher composition (bool must/should semantics)
 # ---------------------------------------------------------------------------

@@ -30,7 +30,7 @@ from ..functions.textproj import project_documents
 from ..operators import cascade as C
 from ..operators.blocking import BlockingReport, explode_tokens, lsh_candidate_pairs
 from ..operators.clustering import assignments_with_singletons, connected_components
-from ..operators.scoring import score_pairs, tfidf_cosine_pairs
+from ..operators.scoring import fused_pair_features, tfidf_cosine_pairs
 from ..sources.checkpoints import StageStore
 
 
@@ -67,6 +67,10 @@ class ResolveConfig:
     # Jaro-Winkler operates on a bounded prefix: O(len^2) per pair, and the
     # discriminating signal saturates well before 96 chars.
     jw_prefix: int = 96
+    # Broadcast the per-doc feature payload (None = auto when n_docs small
+    # enough); keeps token arrays/texts out of the pair shuffle.
+    broadcast_sides: bool | None = None
+    broadcast_max_docs: int = 2_000_000
     n_docs_hint: int | None = None
 
 
@@ -86,44 +90,14 @@ def _pair_scores(proj: DataFrame, cfg: ResolveConfig, n_docs: int) -> DataFrame:
     if cfg.prefilter_tfidf:
         pairs = pairs.filter(F.col("tfidf_cosine") >= F.lit(cfg.prefilter_tfidf))
 
-    # Analyze each doc ONCE per side (n_docs analyzer calls, not n_pairs):
-    # token arrays travel through the pair join and per-pair features are
-    # pure JVM array ops; only Jaro-Winkler (bounded prefix) stays Python.
-    from ..functions import similarity as S
-
-    txt = F.col(cfg.block_proj)
-    side_cols = [F.col("doc_id")]
-    if cfg.jw_prefix and ("jaro_winkler" in cfg.weights or "lev_norm" in cfg.weights):
-        side_cols.append(F.substring(txt, 1, cfg.jw_prefix).alias("_txt"))
-    elif "jaro_winkler" in cfg.weights or "lev_norm" in cfg.weights:
-        side_cols.append(txt.alias("_txt"))
-    if "token_jaccard" in cfg.weights:
-        side_cols.append(F.array_distinct(A.analyze(txt, cfg.block_channel)).alias("_tok"))
-    if "int_jaccard" in cfg.weights:
-        side_cols.append(F.array_distinct(A.analyze(txt, "integers")).alias("_toki"))
-    side = proj.select(*side_cols)
-    a = side.select([F.col(c).alias(f"{c}_a" if c != "doc_id" else "id_a") for c in side.columns])
-    b = side.select([F.col(c).alias(f"{c}_b" if c != "doc_id" else "id_b") for c in side.columns])
-    scored = pairs.join(a, "id_a").join(b, "id_b")
-
-    fmap = {}
-    if "jaro_winkler" in cfg.weights:
-        fmap["jaro_winkler"] = S.jaro_winkler(F.col("_txt_a"), F.col("_txt_b"))
-    if "lev_norm" in cfg.weights:
-        fmap["lev_norm"] = S.levenshtein_norm("_txt_a", "_txt_b")
-    if "token_jaccard" in cfg.weights:
-        fmap["token_jaccard"] = S.token_jaccard(F.col("_tok_a"), F.col("_tok_b"))
-    if "int_jaccard" in cfg.weights:
-        fmap["int_jaccard"] = S.token_jaccard(F.col("_toki_a"), F.col("_toki_b"))
-    for name, expr in fmap.items():
-        scored = scored.withColumn(name, expr)
-    scored = scored.drop("_txt_a", "_txt_b", "_tok_a", "_tok_b", "_toki_a", "_toki_b")
-
-    total = None
-    for name, w in cfg.weights.items():
-        piece = F.coalesce(F.col(name), F.lit(0.0)) * F.lit(float(w))
-        total = piece if total is None else total + piece
-    return scored.withColumn("score", total)
+    # Payload-through-the-pair-plane is the shuffle that kills scaling:
+    # analyze per doc, broadcast the payload (when it fits), shuffle ids only.
+    # Beyond broadcastable size, bucket/co-partition both sides by doc_id.
+    broadcast = cfg.broadcast_sides is True or (cfg.broadcast_sides is None and n_docs <= cfg.broadcast_max_docs)
+    return fused_pair_features(
+        pairs, proj, proj, cfg.block_proj, cfg.block_proj,
+        channel=cfg.block_channel, weights=cfg.weights, jw_prefix=cfg.jw_prefix, broadcast_sides=broadcast,
+    )
 
 
 def resolve(
@@ -200,15 +174,11 @@ def link(
         tok_a = explode_tokens(small_source, "doc_id", A.analyze(t["proj_a"], t["channel"]), with_tf=True)
         tok_b = explode_tokens(ref, "doc_id", A.analyze(t["proj_b"], t["channel"]), with_tf=True)
         pairs = tfidf_cosine_pairs(tok_a, tok_b, max_df=t.get("max_df", 256), n_docs=n_ref)
-        feats = [f for f in t["weights"] if f != "tfidf_cosine"]
-        scored = score_pairs(
-            pairs, small_source, ref, t["proj_a"], t["proj_b"], channel=t["channel"], features=tuple(feats)
-        )
-        total = None
-        for name, w in t["weights"].items():
-            piece = F.coalesce(F.col(name), F.lit(0.0)) * F.lit(float(w))
-            total = piece if total is None else total + piece
-        scored = scored.withColumn("score", total).cache()
+        scored = fused_pair_features(
+            pairs, small_source, ref, t["proj_a"], t["proj_b"],
+            channel=t["channel"], weights=t["weights"], jw_prefix=t.get("jw_prefix", 96),
+            broadcast_sides=t.get("broadcast_sides", True),
+        ).cache()
         tier_best.append(C.top1_per_source(scored.select("id_a", "id_b", "score")))
         tier_means.append(float(scored.agg(F.avg("score")).collect()[0][0] or 1.0))
         thresholds.append(float(t["threshold"]))

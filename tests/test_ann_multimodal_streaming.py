@@ -1,0 +1,124 @@
+"""Tests for the training-data-pipeline additions: ANN (brute force + LSH
+bucketed), multimodal media plumbing (stubbed decode), streaming ingest."""
+
+import math
+import random
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from merge_machine_spark.functions.multimodal import extract_media_features, media_dedup_pairs
+from merge_machine_spark.operators.ann import brute_force_topk, lsh_topk, recall_at_k
+from merge_machine_spark.sources.synth import generate_documents
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    rng = random.Random(5)
+    dim = 16
+    base = [[rng.gauss(0, 1) for _ in range(dim)] for _ in range(20)]
+    rows = []
+    vid = 0
+    for b in base:
+        for _ in range(5):  # 5 jittered copies per center -> clusters
+            v = [x + rng.gauss(0, 0.05) for x in b]
+            n = math.sqrt(sum(x * x for x in v))
+            rows.append((vid, [x / n for x in v]))
+            vid += 1
+    return spark.createDataFrame(rows, "vec_id bigint, embedding array<double>").cache()
+
+
+def test_brute_force_topk_self_similarity(spark, vectors):
+    q = vectors.filter(F.col("vec_id") < 5)
+    top = brute_force_topk(q, vectors, k=5)
+    rows = top.filter(F.col("rank") == 1).collect()
+    # rank-1 neighbor of a vector over the full corpus is itself (cos=1)
+    for r in rows:
+        assert r["q_id"] == r["c_id"] and r["cos"] == pytest.approx(1.0, abs=1e-9)
+
+
+def test_lsh_topk_recall(spark, vectors):
+    # one query per cluster center; corpus = the other jittered copies, so
+    # the exact top-3 are true near-neighbors LSH is meant to recover
+    q = vectors.filter(F.col("vec_id") % 5 == 0)
+    corpus = vectors.filter(F.col("vec_id") % 5 != 0)
+    exact = brute_force_topk(q, corpus, k=3).cache()
+    approx = lsh_topk(q, corpus, k=3, n_planes=6, dim=16, n_probes=3).cache()
+    rec = recall_at_k(exact, approx, k=3)
+    assert rec >= 0.6, f"LSH recall@3 too low: {rec}"
+    # approx scores are true cosines (no approximation in the score itself)
+    a = approx.select("q_id", "c_id", F.col("cos").alias("cos_a"))
+    e = exact.select("q_id", "c_id", F.col("cos").alias("cos_e"))
+    j = a.join(e, ["q_id", "c_id"]).select((F.col("cos_a") - F.col("cos_e")).alias("d"))
+    assert all(abs(r["d"]) < 1e-12 for r in j.collect())
+
+
+def test_media_feature_extraction_plumbing(spark, docs300):
+    feats = extract_media_features(docs300.select("doc_id", "spans")).cache()
+    n_media = docs300.select(
+        F.explode(F.filter("spans", lambda s: s["kind"] == F.lit("media"))).alias("s")
+    ).count()
+    assert feats.count() == n_media  # one row per media span
+    ok = feats.filter(F.col("decode_ok"))
+    row = ok.first()
+    assert row is not None and len(row["feature"]) == 16
+    assert 64 <= row["width"] < 256
+    # determinism: same ref -> same feature
+    two = feats.groupBy("media_ref").agg(F.count(F.lit(1)).alias("n"), F.countDistinct(F.col("feature").cast("string")).alias("d"))
+    assert two.filter(F.col("d") > 1).count() == 0
+
+
+def test_media_decode_stub_flags_unsupported(spark):
+    docs = spark.createDataFrame(
+        [("d1", [{"kind": "media", "text": None, "media_ref": "m!//needs-real-codec", "offset": 0}])],
+        "doc_id string, spans array<struct<kind:string,text:string,media_ref:string,offset:int>>",
+    )
+    row = extract_media_features(docs).collect()[0]
+    assert row["decode_ok"] is False and row["feature"] is None
+
+
+def test_media_dedup_finds_identical_refs(spark):
+    spans = lambda ref: [{"kind": "media", "text": None, "media_ref": ref, "offset": 0}]
+    docs = spark.createDataFrame(
+        [("d1", spans("m://same")), ("d2", spans("m://same")), ("d3", spans("m://other"))],
+        "doc_id string, spans array<struct<kind:string,text:string,media_ref:string,offset:int>>",
+    )
+    feats = extract_media_features(docs)
+    # identical refs dedupe to one row, so use doc-level pairing instead
+    keyed = feats.select(F.col("doc_id").alias("media_ref"), "feature", F.lit(True).alias("decode_ok"))
+    pairs = media_dedup_pairs(keyed, threshold=0.999).collect()
+    assert {(p["ref_a"], p["ref_b"]) for p in pairs} == {("d1", "d2")}
+
+
+def test_streaming_ingest_available_now(spark, tmp_path):
+    """Structured Streaming front door: file stream -> watermarked dedupe ->
+    key derivation -> parquet staging (availableNow drains and stops)."""
+    from merge_machine_spark.streaming.ingest import ingest_to_staging
+
+    src_dir = str(tmp_path / "in")
+    docs = generate_documents(spark, 20, seed=3).select("doc_id", "spans")
+    docs.write.mode("overwrite").parquet(src_dir)
+    stream = spark.readStream.schema(docs.schema).parquet(src_dir)
+    q = ingest_to_staging(stream, str(tmp_path / "staging"), str(tmp_path / "ck"))
+    q.awaitTermination(120)
+    out = spark.read.parquet(str(tmp_path / "staging"))
+    assert out.count() == docs.count()
+    assert set(out.columns) == {"doc_id", "full_text", "tokens"}
+    assert out.filter(F.size("tokens") > 0).count() > 0
+
+
+def test_incremental_resolve_batch(spark):
+    from merge_machine_spark.streaming.ingest import incremental_resolve_batch
+
+    idx = spark.createDataFrame(
+        [("d1", "c1", ["lyce", "agricol", "moulin"]), ("d2", "c2", ["ecol", "pasteur", "lyon"])],
+        "doc_id string, cluster_id string, tokens array<string>",
+    )
+    new = spark.createDataFrame(
+        [("n1", ["lyce", "agricol", "moulin"]), ("n2", ["totally", "new", "thing"])],
+        "doc_id string, tokens array<string>",
+    )
+    got = {r["doc_id"]: r["cluster_id"] for r in incremental_resolve_batch(new, idx, threshold=0.4).collect()}
+    assert got["n1"] == "c1"  # joined existing cluster
+    assert got["n2"] == "n2"  # self-cluster
