@@ -30,11 +30,19 @@ def sorted_spans(spans: Column | str = "spans") -> Column:
 
 
 def text_spans(spans: Column | str = "spans") -> Column:
-    """Only the ``kind='text'`` spans, in offset order, as array<string>."""
-    return F.transform(
-        F.filter(sorted_spans(spans), lambda s: s["kind"] == F.lit("text")),
-        lambda s: s["text"],
+    """Only the ``kind='text'`` spans, in offset order, as array<string>.
+
+    Slims each struct to (text, offset) BEFORE sorting: sorting the full
+    struct would force the parquet scan to read every span field —
+    ``media_ref`` (and at real scale, media payloads) must never be read for
+    a text projection (verify via ReadSchema in PLANS.md)."""
+    col = F.col(spans) if isinstance(spans, str) else spans
+    slim = F.transform(
+        F.filter(col, lambda s: s["kind"] == F.lit("text")),
+        lambda s: F.struct(s["text"].alias("text"), s["offset"].cast("int").alias("offset")),
     )
+    ordered = F.array_sort(slim, lambda a, b: a["offset"] - b["offset"])
+    return F.transform(ordered, lambda s: s["text"])
 
 
 def full_text(spans: Column | str = "spans") -> Column:
@@ -76,6 +84,21 @@ def nth_text_span(spans: Column | str, n: int) -> Column:
     reference column (e.g. span 0 = name, span 1 = address in the synthetic
     fixture)."""
     return F.coalesce(F.element_at(text_spans(spans), n + 1), F.lit(""))
+
+
+TEXT_ONLY_SCHEMA = (
+    "doc_id string, spans array<struct<kind:string,text:string,offset:int>>"
+)
+
+
+def read_documents_text_only(spark, path: str):
+    """Text-plane scan of a documents table: reads the span structs WITHOUT
+    ``media_ref`` by supplying an explicit subset schema (parquet serves
+    nested subsets natively). Catalyst's nested-schema pruning does not see
+    through higher-order-function lambdas (verified in PLANS.md), so for
+    text-only pipelines this source-level prune is how media payloads stay
+    out of the scan at 100 TB."""
+    return spark.read.schema(TEXT_ONLY_SCHEMA).parquet(path)
 
 
 def project_documents(

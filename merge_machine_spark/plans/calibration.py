@@ -295,6 +295,82 @@ def auto_label(
     return out
 
 
+def learn_resolve_threshold(
+    spark,
+    documents: DataFrame,
+    labels: DataFrame,
+    cfg=None,
+    t_p: float = 0.95,
+    t_r: float = 0.3,
+) -> tuple[float, dict]:
+    """Close the L5 loop for the symmetric resolve pipeline: score the
+    labelled pairs with the SAME fused feature set the pipeline uses, then
+    learn the composite-score threshold with :func:`compute_metrics`.
+
+    Only the labelled docs' tokens enter the TF-IDF pair computation (semi-
+    join restriction), so calibration cost is O(|labels|), independent of
+    corpus size — the searches the reference's labeller triggers are
+    similarly restricted to the sampled rows (SURVEY.md §2.10).
+    Returns (threshold, metrics dict)."""
+    from pyspark.sql import functions as F
+
+    from ..functions import analyzers as A
+    from ..functions.textproj import project_documents
+    from ..operators.blocking import explode_tokens
+    from ..operators.scoring import fused_pair_features, tfidf_weighted_tokens
+    from .pipeline import ResolveConfig
+
+    cfg = cfg or ResolveConfig()
+    proj = project_documents(documents, cfg.projections).cache()
+    n_docs = proj.count()
+    pair_ids = labels.select(
+        F.col("doc_id_a").alias("id_a"), F.col("doc_id_b").alias("id_b"), "label"
+    ).filter(F.col("label").isin("y", "n"))
+    lab_ids = pair_ids.select(F.col("id_a").alias("doc_id")).unionByName(
+        pair_ids.select(F.col("id_b").alias("doc_id"))
+    ).distinct()
+
+    # TF-IDF weights use corpus-level document frequencies (unchanged), but
+    # only labelled docs' weighted tokens join.
+    tok = explode_tokens(proj, "doc_id", A.analyze(cfg.block_proj, cfg.block_channel), with_tf=True)
+    dfreq = tok.groupBy("token").agg(F.countDistinct("id").alias("df"))
+    w = tfidf_weighted_tokens(tok, dfreq, n_docs).join(
+        lab_ids.withColumnRenamed("doc_id", "id"), "id", "left_semi"
+    )
+    wa = w.select(F.col("id").alias("id_a"), "token", F.col("w").alias("wa"))
+    wb = w.select(F.col("id").alias("id_b"), "token", F.col("w").alias("wb"))
+    tfidf = (
+        pair_ids.join(wa, ["id_a"]).join(wb, ["id_b", "token"])
+        .groupBy("id_a", "id_b")
+        .agg(F.sum(F.col("wa") * F.col("wb")).alias("tfidf_cosine"))
+    )
+    pairs = pair_ids.join(tfidf, ["id_a", "id_b"], "left").fillna({"tfidf_cosine": 0.0})
+    scored = fused_pair_features(
+        pairs, proj, proj, cfg.block_proj, cfg.block_proj,
+        channel=cfg.block_channel, weights=cfg.weights, jw_prefix=cfg.jw_prefix,
+    ).select("id_a", "id_b", "label", "score")
+    pdf = scored.toPandas()
+
+    # per-pair classification: each labelled pair is its own "source row"
+    # summary (score, is_match) — the symmetric analog of best-hit rows.
+    is_match = (pdf["label"] == "y").to_numpy()
+    scores_np = pdf["score"].to_numpy(dtype="float64")
+    thresh, precision, recall, score = compute_metrics(scores_np, is_match, t_p=t_p, t_r=t_r)
+    # The reference's rolling recall divides by ALL rows (its source rows each
+    # have a true match, HOW_TO.md:8); with labelled negatives present we also
+    # report recall over positives, the symmetric-ER reading.
+    n_pos = int(is_match.sum())
+    pos_recall = float((scores_np[is_match] >= thresh).sum() / max(n_pos, 1))
+    return thresh, {
+        "precision": precision,
+        "recall": recall,
+        "recall_of_positives": pos_recall,
+        "score": score,
+        "n_pairs": len(pdf),
+        "n_positives": n_pos,
+    }
+
+
 def export_params(
     cascade: list[Template],
     exact_pairs: list[tuple[str, str]] | None = None,

@@ -1,0 +1,62 @@
+"""Capture .explain('formatted') for the flagship plans -> PLANS.md."""
+import io
+import sys
+from contextlib import redirect_stdout
+
+from pyspark.sql import functions as F
+
+from merge_machine_spark.functions import analyzers as A
+from merge_machine_spark.functions.textproj import project_documents
+from merge_machine_spark.operators.blocking import explode_tokens
+from merge_machine_spark.operators.scoring import tfidf_cosine_pairs
+from merge_machine_spark.plans.pipeline import ResolveConfig, _pair_scores
+from merge_machine_spark.sources.session import get_spark
+from merge_machine_spark.sources.synth import generate_documents
+
+spark = get_spark(cores=8)
+cfg = ResolveConfig()
+docs = generate_documents(spark, 500, seed=42).select("doc_id", "spans")
+# write/read parquet so scan pushdown is visible
+docs.write.mode("overwrite").parquet("/tmp/plans_docs")
+docs = spark.read.parquet("/tmp/plans_docs")
+from merge_machine_spark.functions.textproj import read_documents_text_only
+docs_slim = read_documents_text_only(spark, "/tmp/plans_docs")
+proj = project_documents(docs, cfg.projections)
+n = proj.count()
+
+
+def grab(df):
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+sections = {}
+sections["text projection over spans (nested-field pruning check)"] = grab(proj)
+sections["text projection via read_documents_text_only (source-level prune)"] = grab(project_documents(docs_slim, cfg.projections))
+tok = explode_tokens(proj, "doc_id", A.analyze(cfg.block_proj, cfg.block_channel), with_tf=True)
+sections["token table (analyzer UDF + map-side hash aggregate)"] = grab(tok)
+scores = _pair_scores(proj, cfg, n)
+sections["fused blocking + scoring (broadcast payload check)"] = grab(scores)
+
+out = ["# Physical plans — flagship pipeline (captured via .explain('formatted'))\n"]
+out.append("What to verify in each plan (and what we verified):\n"
+           "1. the parquet scan of `spans` prunes to needed nested fields;\n"
+           "2. token aggregation is a partial (map-side) HashAggregate before the exchange;\n"
+           "3. the pair->payload joins are BroadcastHashJoin (ids-only pair shuffle);\n"
+           "4. Python appears ONLY as ArrowEvalPython for the analyzer/JW UDFs;\n"
+           "5. WholeStageCodegen spans cover the JVM feature expressions.\n")
+for name, text in sections.items():
+    out.append(f"\n## {name}\n\n```\n{text}\n```\n")
+with open("PLANS.md", "w") as f:
+    f.write("\n".join(out))
+print("written PLANS.md", len("\n".join(out)))
+# quick greps for the report
+t = sections["fused blocking + scoring (broadcast payload check)"]
+print("BroadcastHashJoin count:", t.count("BroadcastHashJoin"))
+print("SortMergeJoin count:", t.count("SortMergeJoin"))
+print("ArrowEvalPython count:", t.count("ArrowEvalPython"))
+tp = sections["text projection via read_documents_text_only (source-level prune)"]
+print("ReadSchema lines:", [l.strip()[:160] for l in tp.splitlines() if "ReadSchema" in l])
+spark.stop()
