@@ -371,6 +371,66 @@ def learn_resolve_threshold(
     }
 
 
+def calibrate_link_tiers(
+    spark,
+    source: DataFrame,
+    ref: DataFrame,
+    tiers: list[dict],
+    labels: DataFrame,
+    t_p: float = 0.95,
+    t_r: float = 0.3,
+) -> list[dict]:
+    """Learn each cascade tier's threshold from labelled (source, ref) pairs
+    — the batch analog of the reference's per-template learning: for every
+    labelled source row take the tier's best-scoring ref row, mark whether
+    that best hit IS the labelled match (first_is_match), and feed the
+    (score, first_is_match, has_results) summaries to L5
+    :func:`compute_metrics` (es_labeller.py:307-417 semantics).
+
+    ``labels``: (doc_id_a = source id, doc_id_b = ref id, label) — e.g. from
+    :func:`auto_label` on a certain key. Only labelled source rows are
+    searched (left-semi restriction), so calibration cost is O(|labels|).
+    Returns the tier configs with learned ``threshold`` plus expected P/R."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from ..functions import analyzers as A
+    from ..operators.blocking import explode_tokens
+    from ..operators.cascade import top1_per_source
+    from ..operators.scoring import fused_pair_features, tfidf_cosine_pairs
+
+    pos = labels.filter(F.col("label") == "y").select(
+        F.col("doc_id_a").alias("id_a"), F.col("doc_id_b").alias("truth_b")
+    ).dropDuplicates(["id_a"])
+    lab_src = source.join(pos.select(F.col("id_a").alias("doc_id")), "doc_id", "left_semi")
+    n_ref = ref.count()
+    out = []
+    for t in tiers:
+        tok_a = explode_tokens(lab_src, "doc_id", A.analyze(t["proj_a"], t["channel"]), with_tf=True)
+        tok_b = explode_tokens(ref, "doc_id", A.analyze(t["proj_b"], t["channel"]), with_tf=True)
+        pairs = tfidf_cosine_pairs(tok_a, tok_b, max_df=t.get("max_df", 256), n_docs=n_ref)
+        scored = fused_pair_features(
+            pairs, lab_src, ref, t["proj_a"], t["proj_b"],
+            channel=t["channel"], weights=t["weights"], jw_prefix=t.get("jw_prefix", 96),
+        )
+        best = top1_per_source(scored.select("id_a", "id_b", "score"))
+        summ = pos.join(best, "id_a", "left").select(
+            F.coalesce("score", F.lit(0.0)).alias("score"),
+            (F.col("id_b") == F.col("truth_b")).alias("first_is_match"),
+            F.col("id_b").isNotNull().alias("has_results"),
+        ).toPandas()
+        thresh, precision, recall, score = compute_metrics(
+            summ["score"].to_numpy(dtype="float64"),
+            summ["first_is_match"].eq(True).to_numpy(dtype=bool),
+            summ["has_results"].to_numpy(dtype=bool),
+            t_p=t_p,
+            t_r=t_r,
+        )
+        out.append({**t, "threshold": float(thresh), "expected_precision": precision,
+                    "expected_recall": recall, "calib_score": score})
+    return out
+
+
 def export_params(
     cascade: list[Template],
     exact_pairs: list[tuple[str, str]] | None = None,

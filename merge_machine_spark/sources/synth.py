@@ -175,6 +175,97 @@ def expected_clusters(docs_with_truth: DataFrame) -> DataFrame:
     return docs_with_truth.select("doc_id", F.col("entity_id"))
 
 
+REF_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.StringType(), False),
+        T.StructField("numero_uai", T.StringType(), False),
+        T.StructField("denomination", T.StringType(), False),
+        T.StructField("patronyme", T.StringType(), False),
+        T.StructField("adresse", T.StringType(), False),
+        T.StructField("localite", T.StringType(), False),
+        T.StructField("departement", T.StringType(), False),
+        T.StructField("code_postal", T.StringType(), False),
+        T.StructField("full_name", T.StringType(), False),
+    ]
+)
+
+SRC_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.StringType(), False),
+        T.StructField("ref_id", T.StringType(), False),  # ground truth (drop for input)
+        T.StructField("id_prog", T.StringType(), False),
+        T.StructField("region", T.StringType(), True),
+        T.StructField("dept", T.StringType(), True),
+        T.StructField("commune", T.StringType(), True),
+        T.StructField("school_names", T.StringType(), True),
+        T.StructField("uai", T.StringType(), True),  # hidden certain-match key (nullable)
+    ]
+)
+
+
+def generate_linkage_fixture(
+    spark: SparkSession, n_ref: int = 6200, n_src: int = 1400, seed: int = 42, uai_coverage: float = 0.6
+):
+    """Reference-shape dirty-source -> clean-ref linkage fixture
+    (FIXTURES.md §4, mirroring examples/data_1's shape: ~1,400 dirty program
+    rows vs ~6,200 clean establishment rows, pairings commune<->localite,
+    school_names<->full_name, dept<->departement, certain key
+    uai<->numero_uai carried by ``uai_coverage`` of source rows).
+    Returns (src, ref) DataFrames; ``src.ref_id`` is ground truth."""
+
+    def gen_ref(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for idx in pdf["id"].tolist():
+                rng = np.random.RandomState((seed * 11_000_003 + idx) % (2**31 - 1))
+                e = _canonical_entity(rng, int(idx))
+                name, patro = e["name"].rsplit(" ", 2)[0], " ".join(e["name"].split()[-2:])
+                rows.append(
+                    {
+                        "doc_id": f"r{idx:09d}",
+                        "numero_uai": e["uai"],
+                        "denomination": name,
+                        "patronyme": patro,
+                        "adresse": e["address"],
+                        "localite": e["city"],
+                        "departement": e["dept"],
+                        "code_postal": e["postal"],
+                        "full_name": f"{e['name']} {e['address']} {e['city']}",
+                    }
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in REF_SCHEMA.fields])
+
+    ref = spark.range(0, n_ref, 1, max(spark.sparkContext.defaultParallelism, 8)).mapInPandas(
+        gen_ref, schema=REF_SCHEMA
+    )
+
+    def gen_src(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for sidx in pdf["id"].tolist():
+                rng = np.random.RandomState((seed * 13_000_003 + sidx) % (2**31 - 1))
+                ridx = int(rng.randint(0, n_ref))  # source entities ⊆ ref entities
+                e = _canonical_entity(np.random.RandomState((seed * 11_000_003 + ridx) % (2**31 - 1)), ridx)
+                rows.append(
+                    {
+                        "doc_id": f"s{sidx:09d}",
+                        "ref_id": f"r{ridx:09d}",
+                        "id_prog": f"p{sidx:06d}",
+                        "region": f"region {int(e['dept']) % 13}",
+                        "dept": ("0" + e["dept"]) if rng.rand() < 0.2 else e["dept"],
+                        "commune": _corrupt(rng, e["city"]),
+                        "school_names": _corrupt(rng, f"{e['name']} {e['address']}"),
+                        "uai": e["uai"] if rng.rand() < uai_coverage else None,
+                    }
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in SRC_SCHEMA.fields])
+
+    src = spark.range(0, n_src, 1, max(spark.sparkContext.defaultParallelism, 8)).mapInPandas(
+        gen_src, schema=SRC_SCHEMA
+    )
+    return src, ref
+
+
 def generate_labels(
     docs_with_truth: DataFrame, n_pos: int = 300, n_neg: int = 300, seed: int = 42
 ) -> DataFrame:
