@@ -691,6 +691,20 @@ def q_connected_components(spark, sf_dir):
     return connected_components(pairs)
 
 
+def q_ann_lsh_top3(spark, sf_dir):
+    """Bucketed ANN (random-hyperplane LSH + multiprobe) over embeddings —
+    the scale path next to the brute-force baseline (rows-only; recall@k is
+    pytest-verified in tests/test_ann_multimodal_streaming.py)."""
+    from pyspark.sql import functions as F
+
+    from merge_machine_spark.operators.ann import lsh_topk
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    q = emb.filter(F.col("vec_id") < 10)
+    c = emb.filter(F.col("vec_id") >= 10)
+    return lsh_topk(q, c, k=3, n_planes=8, dim=64, n_probes=2)
+
+
 def q_french_analyzer_tokens(spark, sf_dir):
     """F2/F3 French analyzer over driver text (rows-only; golden-token pytest
     covers exact semantics)."""
@@ -777,6 +791,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_buckets": q_simhash_buckets,
         "connected_components": q_connected_components,
         "french_analyzer_tokens": q_french_analyzer_tokens,
+        "ann_lsh_top3": q_ann_lsh_top3,
     }
 
 
