@@ -509,17 +509,18 @@ FROM t
 def q_token_counts(spark, sf_dir):
     """Training-data op: token counting (whitespace + alpha/digit regex)."""
     docs = _t(spark, sf_dir, "documents")
-    ws = F.size(F.filter(F.split(F.col("text"), r"\s+"), lambda t: t != F.lit("")))
-    alpha = F.size(F.regexp_extract_all(F.lower(F.col("text")), F.lit("([a-z]+)"), 1))
-    digit = F.size(F.regexp_extract_all(F.col("text"), F.lit("([0-9]+)"), 1))
+    txt = F.coalesce(F.col("text"), F.lit(""))
+    ws = F.size(F.filter(F.split(txt, r"\s+"), lambda t: t != F.lit("")))
+    alpha = F.size(F.regexp_extract_all(F.lower(txt), F.lit("([a-z]+)"), 1))
+    digit = F.size(F.regexp_extract_all(txt, F.lit("([0-9]+)"), 1))
     return docs.select("doc_id", ws.alias("ws_tokens"), alpha.alias("alpha_tokens"), digit.alias("digit_tokens"))
 
 
 SQL_TOKEN_COUNTS = """
 SELECT doc_id,
-  len(list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> '')) AS ws_tokens,
-  len(regexp_extract_all(lower(text), '([a-z]+)', 1)) AS alpha_tokens,
-  len(regexp_extract_all(text, '([0-9]+)', 1)) AS digit_tokens
+  len(list_filter(regexp_split_to_array(coalesce(text,''), '\\s+'), t -> t <> '')) AS ws_tokens,
+  len(regexp_extract_all(lower(coalesce(text,'')), '([a-z]+)', 1)) AS alpha_tokens,
+  len(regexp_extract_all(coalesce(text,''), '([0-9]+)', 1)) AS digit_tokens
 FROM documents
 """
 
@@ -663,7 +664,10 @@ def q_minhash_lsh_pairs(spark, sf_dir):
     from merge_machine_spark.operators.blocking import lsh_candidate_pairs
 
     docs = _t(spark, sf_dir, "documents").select(F.col("doc_id").cast("string").alias("doc_id"), "text")
-    return lsh_candidate_pairs(docs, "doc_id", A.n_grams(F.col("text")), bands=8, rows=2)
+    # bands=8, rows=4: at rows=2 the 3-gram channel emitted ~89% of the cross
+    # join (unselective demo); 4 rows/band keeps recall for near-dups while
+    # exhibiting the sub-quadratic candidate generation the module is for.
+    return lsh_candidate_pairs(docs, "doc_id", A.n_grams(F.col("text")), bands=8, rows=4)
 
 
 def q_simhash_buckets(spark, sf_dir):

@@ -176,6 +176,27 @@ def lsh_bands(df: DataFrame, id_col: str, sig_col: str, bands: int, rows: int) -
     )
 
 
+def lsh_band_table(df: DataFrame, id_col: str, tokens: Column, bands: int, rows: int) -> DataFrame:
+    """(id, band, band_hash) built from the exploded token table.
+
+    Equivalent bucketing to :func:`minhash_signature` + :func:`lsh_bands`
+    (two docs collide iff their per-band min-hash slices are equal) but
+    computed as ONE hash-aggregate over (id, token) with ``bands*rows``
+    ``min(xxhash64(token, i))`` aggregates — Catalyst codegens that into a
+    tight loop, where the nested-HOF signature expression cost ~seconds of
+    analysis per query and re-hashed every token ``bands*rows`` times inside
+    a per-row lambda. Docs with zero tokens vanish at the explode (no
+    all-empty collision bucket)."""
+    tok = df.select(F.col(id_col).alias("id"), F.explode(tokens).alias("token")).distinct()
+    num = bands * rows
+    aggs = [F.min(F.xxhash64(F.col("token"), F.lit(i))).alias(f"_h{i}") for i in range(num)]
+    sig = tok.groupBy("id").agg(*aggs)
+    band_hashes = F.array(
+        *[F.xxhash64(*[F.col(f"_h{b * rows + r}") for r in range(rows)]) for b in range(bands)]
+    )
+    return sig.select("id", F.posexplode(band_hashes).alias("band", "band_hash"))
+
+
 def lsh_candidate_pairs(
     df: DataFrame,
     id_col: str,
@@ -189,11 +210,7 @@ def lsh_candidate_pairs(
     high collide on >=1 band with high probability. ``max_bucket`` caps
     pathological buckets (all-identical boilerplate) the same way df-cap
     bounds token blocks."""
-    sigs = df.select(F.col(id_col).alias("id"), minhash_signature(tokens, bands * rows).alias("sig"))
-    # empty token sets have no signature — they must not all collide on the
-    # hash of the empty band
-    sigs = sigs.filter(F.size("sig") > 0)
-    bandtab = lsh_bands(sigs, "id", "sig", bands, rows)
+    bandtab = lsh_band_table(df, id_col, tokens, bands, rows)
     sizes = bandtab.groupBy("band", "band_hash").agg(F.count(F.lit(1)).alias("bucket_n"))
     if report is not None:
         dropped = sizes.filter(F.col("bucket_n") > max_bucket).agg(

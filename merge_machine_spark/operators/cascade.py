@@ -135,7 +135,9 @@ def apply_overrides(
                 F.when(F.col("_ex_id_b").isNotNull(), F.lit(None).cast("int")).otherwise(F.col("query_id")).alias("query_id"),
                 F.when(F.col("_ex_id_b").isNotNull(), F.lit(None).cast("double")).otherwise(F.col("thresh")).alias("thresh"),
                 F.when(F.col("_ex_id_b").isNotNull(), F.lit(True)).otherwise(F.col("is_match")).alias("is_match"),
-                F.when(F.col("_ex_id_b").isNotNull(), F.lit(1.0)).otherwise(F.col("confidence")).alias("confidence"),
+                # reference contract: labelled positives carry __CONFIDENCE=999
+                # (es_match.py sentinel), ranking above every computed match
+                F.when(F.col("_ex_id_b").isNotNull(), F.lit(EXACT_SCORE)).otherwise(F.col("confidence")).alias("confidence"),
             )
         )
     if non_matching_pairs is not None:

@@ -47,7 +47,7 @@ def compute_metrics(
     scores: np.ndarray,
     first_is_match: np.ndarray,
     has_results: np.ndarray | None = None,
-    t_p: float = 0.95,
+    t_p: float = 0.965,
     t_r: float = 0.3,
 ) -> tuple[float, float, float, float]:
     """Optimal threshold + precision/recall/custom-score for one matcher.
@@ -199,7 +199,7 @@ def template_pair_scores(pdf: pd.DataFrame, template: Template, clause_col) -> p
 
 
 def calibrate_template(
-    pdf: pd.DataFrame, template: Template, clause_col, t_p: float = 0.95, t_r: float = 0.3
+    pdf: pd.DataFrame, template: Template, clause_col, t_p: float = 0.965, t_r: float = 0.3
 ) -> Template:
     """L5 applied to one template: per source row take the best-scoring
     candidate pair, derive (score, first_is_match, has_results), learn the
@@ -251,7 +251,7 @@ def calibrate_cascade(
     templates: list[Template],
     clause_col,
     max_queries: int = 3,
-    t_p: float = 0.95,
+    t_p: float = 0.965,
     t_r: float = 0.3,
 ) -> list[Template]:
     """Calibrate every template, apply the precision filter, sort by custom
@@ -300,7 +300,7 @@ def learn_resolve_threshold(
     documents: DataFrame,
     labels: DataFrame,
     cfg=None,
-    t_p: float = 0.95,
+    t_p: float = 0.965,
     t_r: float = 0.3,
 ) -> tuple[float, dict]:
     """Close the L5 loop for the symmetric resolve pipeline: score the
@@ -377,7 +377,7 @@ def calibrate_link_tiers(
     ref: DataFrame,
     tiers: list[dict],
     labels: DataFrame,
-    t_p: float = 0.95,
+    t_p: float = 0.965,
     t_r: float = 0.3,
 ) -> list[dict]:
     """Learn each cascade tier's threshold from labelled (source, ref) pairs

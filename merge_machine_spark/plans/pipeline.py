@@ -79,16 +79,28 @@ def _pair_scores(proj: DataFrame, cfg: ResolveConfig, n_docs: int) -> DataFrame:
     tok = explode_tokens(proj, "doc_id", A.analyze(cfg.block_proj, cfg.block_channel), with_tf=True)
     pairs = tfidf_cosine_pairs(tok, max_df=cfg.max_df, n_docs=n_docs)
     if cfg.use_lsh:
+        # LSH-sourced pairs carry provenance: the whole point of the channel
+        # is near-dups that share NO surviving block-channel token (their
+        # tfidf_cosine is 0), so they must be exempt from the TF-IDF
+        # prefilter below — otherwise the channel is silently dead.
         lsh = lsh_candidate_pairs(
             proj, "doc_id", A.analyze(cfg.block_proj, "n_grams"), bands=cfg.lsh_bands, rows=cfg.lsh_rows
-        ).withColumn("tfidf_cosine", F.lit(0.0))
+        )
         pairs = (
-            pairs.unionByName(lsh.select("id_a", "id_b", "tfidf_cosine"))
+            pairs.select("id_a", "id_b", "tfidf_cosine", F.lit(False).alias("_from_lsh"))
+            .unionByName(
+                lsh.select("id_a", "id_b", F.lit(0.0).alias("tfidf_cosine"), F.lit(True).alias("_from_lsh"))
+            )
             .groupBy("id_a", "id_b")
-            .agg(F.max("tfidf_cosine").alias("tfidf_cosine"))
+            .agg(F.max("tfidf_cosine").alias("tfidf_cosine"), F.max("_from_lsh").alias("_from_lsh"))
         )
     if cfg.prefilter_tfidf:
-        pairs = pairs.filter(F.col("tfidf_cosine") >= F.lit(cfg.prefilter_tfidf))
+        keep = F.col("tfidf_cosine") >= F.lit(cfg.prefilter_tfidf)
+        if cfg.use_lsh:
+            keep = keep | F.col("_from_lsh")
+        pairs = pairs.filter(keep)
+    if cfg.use_lsh:
+        pairs = pairs.drop("_from_lsh")
 
     # Payload-through-the-pair-plane is the shuffle that kills scaling:
     # analyze per doc, broadcast the payload (when it fits), shuffle ids only.

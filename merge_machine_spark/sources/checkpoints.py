@@ -53,8 +53,25 @@ class StageStore:
     def _manifest(self, stage: str) -> str:
         return os.path.join(self._dir(stage), "_STAGE_MANIFEST.json")
 
+    @staticmethod
+    def _spark() -> SparkSession:
+        s = SparkSession.getActiveSession()
+        if s is None:  # pragma: no cover - sessions exist in every caller
+            raise RuntimeError("StageStore needs an active SparkSession")
+        return s
+
+    @staticmethod
+    def _fs(spark: SparkSession, path_str: str):
+        """Hadoop FileSystem for ``path_str`` — manifest I/O must go through
+        it, not local open(): checkpoint_dir may be s3://... on a cluster."""
+        jvm = spark._jvm
+        path = jvm.org.apache.hadoop.fs.Path(path_str)
+        return path.getFileSystem(spark._jsc.hadoopConfiguration()), path
+
     def exists(self, stage: str) -> bool:
-        return os.path.exists(self._manifest(stage))
+        spark = self._spark()
+        fs, path = self._fs(spark, self._manifest(stage))
+        return bool(fs.exists(path))
 
     def write(self, df: DataFrame, stage: str, score_col: str | None = None, extra: dict | None = None) -> DataFrame:
         """Write stage data, then the manifest (ordering = atomicity); returns
@@ -73,16 +90,34 @@ class StageStore:
             "partitions": partition_metrics(out, score_col) if self.collect_metrics else [],
             "extra": extra or {},
         }
-        with open(self._manifest(stage), "w") as f:
-            json.dump(manifest, f, indent=1, default=str)
+        blob = json.dumps(manifest, indent=1, default=str)
+        # single-file JSON written through the Hadoop FS so any scheme the
+        # cluster can write (s3a://, hdfs://, file:/) works for resume
+        fs, mpath = self._fs(spark, self._manifest(stage))
+        stream = fs.create(mpath, True)
+        try:
+            stream.write(blob.encode("utf-8"))
+        finally:
+            stream.close()
         return out
 
     def read(self, spark: SparkSession, stage: str) -> DataFrame:
         return spark.read.parquet(os.path.join(self._dir(stage), "data"))
 
     def manifest(self, stage: str) -> dict:
-        with open(self._manifest(stage)) as f:
-            return json.load(f)
+        spark = self._spark()
+        fs, mpath = self._fs(spark, self._manifest(stage))
+        stream = fs.open(mpath)
+        try:
+            reader = spark._jvm.java.io.BufferedReader(spark._jvm.java.io.InputStreamReader(stream, "UTF-8"))
+            lines = []
+            line = reader.readLine()
+            while line is not None:
+                lines.append(line)
+                line = reader.readLine()
+        finally:
+            stream.close()
+        return json.loads("\n".join(lines))
 
     def get_or_compute(
         self, spark: SparkSession, stage: str, compute, score_col: str | None = None, resume: bool = True

@@ -83,6 +83,47 @@ def test_resume_byte_identical(spark):
         shutil.rmtree(ckdir, ignore_errors=True)
 
 
+def test_lsh_only_pair_survives_prefilter(spark):
+    """VERDICT r1 #1: a near-dup pair sharing NO block-channel token (so the
+    TF-IDF channel never proposes it and its tfidf_cosine is 0 < prefilter)
+    but with high 3-gram similarity must still be clustered when
+    ``use_lsh=True`` — i.e. LSH-sourced pairs are exempt from the TF-IDF
+    prefilter instead of being silently dropped."""
+    rows = [
+        ("a1", "grenoblexyz"),       # single token; no token shared with a2
+        ("a2", "grenoblexyzq"),      # high 3-gram Jaccard with a1
+        ("b1", "completelyother"),
+        ("b2", "unrelatedwording"),
+        ("b3", "thirdneutraldoc"),
+    ]
+    docs = spark.createDataFrame(
+        [(i, [("text", t, None, 0)]) for i, t in rows],
+        "doc_id string, spans array<struct<kind:string,text:string,media_ref:string,offset:int>>",
+    )
+    cfg = ResolveConfig(
+        block_channel="standard",
+        use_lsh=True,
+        lsh_bands=16,
+        lsh_rows=2,
+        weights={"jaro_winkler": 0.6, "token_jaccard": 0.4},
+        threshold=0.5,
+        prefilter_tfidf=0.10,
+    )
+
+    def cluster_of(res, doc):
+        return {r["doc_id"]: r["cluster_id"] for r in res["cluster_assignments"].collect()}[doc]
+
+    with_lsh = resolve(spark, docs, cfg)
+    assert cluster_of(with_lsh, "a1") == cluster_of(with_lsh, "a2")
+    # and the TF-IDF channel alone genuinely cannot find it
+    cfg_no = ResolveConfig(
+        block_channel="standard", use_lsh=False,
+        weights={"jaro_winkler": 0.6, "token_jaccard": 0.4}, threshold=0.5, prefilter_tfidf=0.10,
+    )
+    without = resolve(spark, docs, cfg_no)
+    assert cluster_of(without, "a1") != cluster_of(without, "a2")
+
+
 def test_link_output_contract(spark, docs300):
     """Linkage mode (es_match parity): row conservation + contract columns
     (FIXTURES.md §4) + high accuracy against ground truth."""
