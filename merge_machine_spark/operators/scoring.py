@@ -188,6 +188,96 @@ def fused_pair_features(
     return scored.withColumn(score_col, total)
 
 
+def fused_pair_features_best_field(
+    pairs: DataFrame,
+    side_a: DataFrame,
+    side_b: DataFrame,
+    col_a: str,
+    cols_b: list[str] | tuple[str, ...],
+    channel: str,
+    weights: dict[str, float],
+    jw_prefix: int | None = 96,
+    broadcast_sides: bool = True,
+    score_col: str = "score",
+) -> DataFrame:
+    """J2 ``multi_match`` best-field scoring (reference helpers.py:129-141,
+    HOW_TO.md:52-57): one source projection scored against a LIST of ref
+    columns; the clause score is ``greatest()`` over the per-column composite
+    scores (ES best_fields takes the max per-field relevance).
+
+    Same scale shape as :func:`fused_pair_features`: per-doc payload
+    (n_docs analyzer calls), ONE b-side row carrying all per-column arrays,
+    broadcast payload, ids-only pair shuffle. A pre-existing
+    ``tfidf_cosine`` on ``pairs`` is already best-field by construction
+    (candidate generation union-maxes per-field cosines), so it is weighted
+    once outside the greatest(). Adds ``best_field`` (the winning ref
+    column) next to ``score_col``."""
+    from ..functions import analyzers as A
+    from ..functions import similarity as S
+
+    cols_b = list(cols_b)
+    if len(cols_b) == 1:
+        out = fused_pair_features(
+            pairs, side_a, side_b, col_a, cols_b[0], channel=channel, weights=weights,
+            jw_prefix=jw_prefix, broadcast_sides=broadcast_sides, score_col=score_col,
+        )
+        return out.withColumn("best_field", F.lit(cols_b[0]))
+
+    need_txt = "jaro_winkler" in weights or "lev_norm" in weights
+    need_tok = "token_jaccard" in weights
+    need_int = "int_jaccard" in weights
+
+    def payload(txt: Column, tag: str) -> list[Column]:
+        cols = []
+        if need_txt:
+            cols.append((F.substring(txt, 1, jw_prefix) if jw_prefix else txt).alias(f"_txt{tag}"))
+        if need_tok:
+            cols.append(F.array_distinct(A.analyze(txt, channel)).alias(f"_tok{tag}"))
+        if need_int:
+            cols.append(F.array_distinct(A.analyze(txt, "integers")).alias(f"_toki{tag}"))
+        return cols
+
+    a = side_a.select(F.col("doc_id").alias("id_a"), *payload(F.col(col_a), "_a"))
+    b = side_b.select(
+        F.col("doc_id").alias("id_b"),
+        *[c for i, cb in enumerate(cols_b) for c in payload(F.col(cb), f"_b{i}")],
+    )
+    if broadcast_sides:
+        a, b = F.broadcast(a), F.broadcast(b)
+    scored = pairs.join(a, "id_a").join(b, "id_b")
+
+    field_scores: list[Column] = []
+    for i in range(len(cols_b)):
+        total = None
+        for name, w in weights.items():
+            if name == "tfidf_cosine":
+                continue
+            if name == "jaro_winkler":
+                feat = S.jaro_winkler(F.col("_txt_a"), F.col(f"_txt_b{i}"))
+            elif name == "lev_norm":
+                feat = S.levenshtein_norm(f"_txt_a", f"_txt_b{i}")
+            elif name == "token_jaccard":
+                feat = S.token_jaccard(F.col("_tok_a"), F.col(f"_tok_b{i}"))
+            elif name == "int_jaccard":
+                feat = S.token_jaccard(F.col("_toki_a"), F.col(f"_toki_b{i}"))
+            else:
+                raise KeyError(f"unknown feature {name!r}")
+            piece = F.coalesce(feat, F.lit(0.0)) * F.lit(float(w))
+            total = piece if total is None else total + piece
+        field_scores.append(total if total is not None else F.lit(0.0))
+
+    best = F.greatest(*field_scores) if len(field_scores) > 1 else field_scores[0]
+    # winning column name: first field achieving the max (deterministic order)
+    best_field = F.lit(cols_b[0])
+    for i in reversed(range(len(cols_b))):
+        best_field = F.when(field_scores[i] >= best, F.lit(cols_b[i])).otherwise(best_field)
+    total = best
+    if "tfidf_cosine" in weights:
+        total = total + F.coalesce(F.col("tfidf_cosine"), F.lit(0.0)) * F.lit(float(weights["tfidf_cosine"]))
+    drop = [c for c in scored.columns if c.startswith(("_txt", "_tok", "_toki"))]
+    return scored.withColumn(score_col, total).withColumn("best_field", best_field).drop(*drop)
+
+
 # ---------------------------------------------------------------------------
 # compound-matcher composition (bool must/should semantics)
 # ---------------------------------------------------------------------------
@@ -198,7 +288,7 @@ class Clause:
 
     bool_lvl: str  # 'must' | 'should'
     proj_a: str
-    proj_b: str
+    proj_b: str | tuple[str, ...]  # tuple = J2 multi_match over a ref column list
     channel: str
     weight: float = 1.0
 

@@ -111,7 +111,9 @@ class Template:
     score: float = 0.0
 
     def key(self) -> tuple:
-        return tuple(sorted((c.bool_lvl, c.proj_a, c.proj_b, c.channel, c.weight) for c in self.clauses))
+        # str(proj_b): multi_match clauses carry a tuple of ref columns,
+        # which must sort stably against plain-string pairings
+        return tuple(sorted((c.bool_lvl, c.proj_a, str(c.proj_b), c.channel, c.weight) for c in self.clauses))
 
 
 def enumerate_templates(
@@ -165,7 +167,7 @@ def prune_dominated(templates: list[Template]) -> list[Template]:
             cur = best.get(k)
             if cur is None or pri.get(c.channel, 99) < pri.get(cur.channel, 99):
                 best[k] = c
-        nt = Template(sorted(best.values(), key=lambda c: (c.bool_lvl, c.proj_a, c.proj_b, c.channel)))
+        nt = Template(sorted(best.values(), key=lambda c: (c.bool_lvl, c.proj_a, str(c.proj_b), c.channel)))
         if not any(c.bool_lvl == "must" for c in nt.clauses):
             continue
         if nt.key() not in seen:
@@ -461,7 +463,10 @@ def load_params(blob: str | dict) -> tuple[list[Template], dict]:
     cfg = json.loads(blob) if isinstance(blob, str) else blob
     cascade = [
         Template(
-            [Clause(*c[:4], float(c[4])) for c in q["template"]],
+            [
+                Clause(c[0], c[1], tuple(c[2]) if isinstance(c[2], list) else c[2], c[3], float(c[4]))
+                for c in q["template"]
+            ],
             q.get("best_thresh", 1000.0),
             q.get("expected_precision", 0.0),
             q.get("expected_recall", 0.0),

@@ -30,7 +30,7 @@ from ..functions.textproj import project_documents
 from ..operators import cascade as C
 from ..operators.blocking import BlockingReport, explode_tokens, lsh_candidate_pairs
 from ..operators.clustering import assignments_with_singletons, connected_components
-from ..operators.scoring import fused_pair_features, tfidf_cosine_pairs
+from ..operators.scoring import fused_pair_features, fused_pair_features_best_field, tfidf_cosine_pairs
 from ..sources.checkpoints import StageStore
 
 
@@ -160,6 +160,75 @@ def resolve(
     return {"projected": proj, "pair_scores": scores, "match_edges": edges, "cluster_assignments": clusters}
 
 
+# ---------------------------------------------------------------------------
+# global must / must_not filters (P3/P4)
+# ---------------------------------------------------------------------------
+def _analyze_literal(spark: SparkSession, text: str, channel: str) -> list[str]:
+    """Analyzed tokens of a literal string (one-row job — filters are set up
+    once per link, never per data row)."""
+    row = spark.range(1).select(A.analyze(F.lit(text), channel).alias("t")).collect()[0]
+    return list(row["t"] or [])
+
+
+def apply_global_filters(
+    spark: SparkSession,
+    ref: DataFrame,
+    must: dict[str, list[str]] | None = None,
+    must_not: dict[str, list[str]] | None = None,
+    channels: tuple[str, ...] = ("standard",),
+) -> DataFrame:
+    """P3/P4 global filters as an engine API (reference HOW_TO.md:138-141;
+    applied to every search body in helpers.py:145-148).
+
+    ``must_not``: {ref column: [words...]} — a ref row is EXCLUDED when its
+    analyzed tokens share any token with the analyzed values (ES ``match``
+    with operator=or at any of the filter analyzers).
+    ``must``: {ref column: [phrases...]} — a ref row is KEPT only when every
+    phrase's analyzed token sequence appears contiguously in the row's token
+    stream (ES ``match_phrase`` in the bool filter, AND semantics).
+
+    The reference applies these at its DEFAULT_FILTER_FIELDS analyzers; pass
+    ``channels`` to mirror that (default: standard)."""
+    out = ref
+    for col, values in (must_not or {}).items():
+        if not values:
+            continue
+        for ch in channels:
+            bad = _analyze_literal(spark, " ".join(values), ch)
+            if not bad:
+                continue
+            out = out.filter(
+                ~F.arrays_overlap(A.analyze(col, ch), F.array(*[F.lit(t) for t in bad]))
+            )
+    for col, values in (must or {}).items():
+        for v in values:
+            for ch in channels:
+                ptoks = _analyze_literal(spark, v, ch)
+                if not ptoks:
+                    continue
+                stream = F.concat(F.lit(" "), F.array_join(A.analyze(col, ch), " "), F.lit(" "))
+                out = out.filter(stream.contains(" " + " ".join(ptoks) + " "))
+    return out
+
+
+def _tier_candidate_pairs(small_source, ref, proj_a, proj_b, channel, max_df, n_ref):
+    """Candidate generation for one tier. ``proj_b`` may be a LIST of ref
+    columns (J2 multi_match): per-field TF-IDF cosines are union-maxed —
+    best-field retrieval, one token join per field."""
+    cols_b = list(proj_b) if isinstance(proj_b, (list, tuple)) else [proj_b]
+    tok_a = explode_tokens(small_source, "doc_id", A.analyze(proj_a, channel), with_tf=True)
+    per_field = []
+    for cb in cols_b:
+        tok_b = explode_tokens(ref, "doc_id", A.analyze(cb, channel), with_tf=True)
+        per_field.append(tfidf_cosine_pairs(tok_a, tok_b, max_df=max_df, n_docs=n_ref))
+    pairs = per_field[0]
+    for p in per_field[1:]:
+        pairs = pairs.unionByName(p)
+    if len(per_field) > 1:
+        pairs = pairs.groupBy("id_a", "id_b").agg(F.max("tfidf_cosine").alias("tfidf_cosine"))
+    return pairs, cols_b
+
+
 def link(
     spark: SparkSession,
     source: DataFrame,
@@ -168,26 +237,33 @@ def link(
     exact_pairs: DataFrame | None = None,
     non_matching_pairs: DataFrame | None = None,
     match_cols: list[str] | None = None,
+    must: dict[str, list[str]] | None = None,
+    must_not: dict[str, list[str]] | None = None,
+    filter_channels: tuple[str, ...] = ("standard",),
 ) -> DataFrame:
     """Asymmetric linkage (the reference's production query, es_match.py:241-417).
 
     ``source``/``ref``: flat string-column DataFrames with a ``doc_id``.
     ``tiers``: priority-ordered matcher configs, each
-      {proj_a, proj_b, channel, weights: {feature: w}, threshold, max_df}.
+      {proj_a, proj_b, channel, weights: {feature: w}, threshold, max_df};
+      ``proj_b`` may be a list of ref columns (J2 multi_match best-field).
+    ``must``/``must_not``: global ref-side filters (P3/P4) applied before any
+    tier search — excluded ref rows can never match.
     Returns the reference output contract (FIXTURES.md §4): source columns +
     __IS_MATCH __ID_REF __ID_QUERY __SIM_SCORE __THRESH __CONFIDENCE
     __SOURCE_GROUP + ref columns suffixed __REF."""
     match_cols = match_cols or [t["proj_a"] for t in tiers]
     small_source, group_map, did_dedup = C.deduplicate_source(source, match_cols)
+    ref_f = apply_global_filters(spark, ref, must, must_not, channels=filter_channels)
 
-    n_ref = ref.count()
+    n_ref = ref_f.count()
     tier_best, tier_means, thresholds = [], [], []
     for t in tiers:
-        tok_a = explode_tokens(small_source, "doc_id", A.analyze(t["proj_a"], t["channel"]), with_tf=True)
-        tok_b = explode_tokens(ref, "doc_id", A.analyze(t["proj_b"], t["channel"]), with_tf=True)
-        pairs = tfidf_cosine_pairs(tok_a, tok_b, max_df=t.get("max_df", 256), n_docs=n_ref)
-        scored = fused_pair_features(
-            pairs, small_source, ref, t["proj_a"], t["proj_b"],
+        pairs, cols_b = _tier_candidate_pairs(
+            small_source, ref_f, t["proj_a"], t["proj_b"], t["channel"], t.get("max_df", 256), n_ref
+        )
+        scored = fused_pair_features_best_field(
+            pairs, small_source, ref_f, t["proj_a"], cols_b,
             channel=t["channel"], weights=t["weights"], jw_prefix=t.get("jw_prefix", 96),
             broadcast_sides=t.get("broadcast_sides", True),
         ).cache()
@@ -197,4 +273,53 @@ def link(
 
     picked = C.cascade_pick(tier_best, thresholds, tier_means)
     picked = C.apply_overrides(picked, exact_pairs, non_matching_pairs)
+    return C.link_output(source, ref, picked, group_map)
+
+
+def link_with_params(
+    spark: SparkSession,
+    source: DataFrame,
+    ref: DataFrame,
+    params: dict | str,
+    max_df: int | None = 256,
+    filter_channels: tuple[str, ...] = ("standard",),
+) -> DataFrame:
+    """Run a learned-params blob (L14 export_params / load_params shape,
+    FIXTURES.md §3) end-to-end: compound templates become the cascade tiers
+    (clause score = per-channel TF-IDF cosine composed with bool must/should
+    semantics via compose_matcher), global must/must_not filters are honored,
+    and labelled exact / non-matching pairs override (P5/P6)."""
+    from ..operators.scoring import compose_matcher
+    from .calibration import load_params
+
+    cascade, cfg = load_params(params)
+    if not cascade:
+        raise ValueError("params blob has no learned queries")
+    match_cols = sorted({c.proj_a for t in cascade for c in t.clauses})
+    small_source, group_map, _ = C.deduplicate_source(source, match_cols)
+    ref_f = apply_global_filters(
+        spark, ref, cfg.get("must") or None, cfg.get("must_not") or None, channels=filter_channels
+    )
+    n_ref = ref_f.count()
+
+    tier_best, tier_means, thresholds = [], [], []
+    for t in cascade:
+        clause_tables = []
+        for c in t.clauses:
+            pairs, _ = _tier_candidate_pairs(
+                small_source, ref_f, c.proj_a, c.proj_b, c.channel, max_df, n_ref
+            )
+            clause_tables.append((c, pairs.select("id_a", "id_b", F.col("tfidf_cosine").alias("clause_score"))))
+        scored = compose_matcher(clause_tables).cache()
+        tier_best.append(C.top1_per_source(scored))
+        tier_means.append(float(scored.agg(F.avg("score")).collect()[0][0] or 1.0))
+        thresholds.append(float(t.thresh))
+
+    picked = C.cascade_pick(tier_best, thresholds, tier_means)
+    ex = cfg.get("exact_pairs") or None
+    nm = cfg.get("non_matching_pairs") or None
+    mk_pairs = lambda rows: spark.createDataFrame([(a, b) for a, b in rows], "id_a string, id_b string")
+    picked = C.apply_overrides(
+        picked, mk_pairs(ex) if ex else None, mk_pairs(nm) if nm else None
+    )
     return C.link_output(source, ref, picked, group_map)
