@@ -706,7 +706,7 @@ def q_ann_lsh_top3(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     q = emb.filter(F.col("vec_id") < 10)
     c = emb.filter(F.col("vec_id") >= 10)
-    return lsh_topk(q, c, k=3, n_planes=8, dim=64, n_probes=2)
+    return lsh_topk(q, c, k=3, n_planes=8, dim=64, n_tables=2, n_probes=2, max_bucket=4096)
 
 
 def q_french_analyzer_tokens(spark, sf_dir):

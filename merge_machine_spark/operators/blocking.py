@@ -88,6 +88,7 @@ def salted_token_join(
     n_salt: int = 8,
     hot_df_threshold: int = 1024,
     df_table: DataFrame | None = None,
+    report: BlockingReport | None = None,
 ) -> DataFrame:
     """Equi-join (token) -> (id_a, id_b), with explicit salting of hot keys.
 
@@ -98,6 +99,8 @@ def salted_token_join(
     """
     dfreq = df_table if df_table is not None else document_frequency(right)
     hot = dfreq.filter(F.col("df") > F.lit(hot_df_threshold)).select("token")
+    if report is not None:
+        report.hot_tokens_salted = hot.count()
     left_h = left.join(F.broadcast(hot), "token", "left_semi")
     left_c = left.join(F.broadcast(hot), "token", "left_anti")
     right_h = right.join(F.broadcast(hot), "token", "left_semi")
@@ -138,7 +141,19 @@ def candidate_pairs(
     if max_df is not None:
         ta = cap_document_frequency(ta, max_df, report=report, df_table=dfreq)
         tb = ta if self_join else cap_document_frequency(tb, max_df, df_table=dfreq)
-    joined = salted_token_join(ta, tb, n_salt=n_salt, hot_df_threshold=hot_df_threshold, df_table=dfreq)
+    if max_df is not None and hot_df_threshold > max_df:
+        # cap-then-salt is mutually exclusive here: every surviving token has
+        # df <= max_df < hot_df_threshold, so the salted path could never
+        # trigger — join plainly instead of paying its dead semi/anti stages.
+        # Salting is the skew defense for UNCAPPED joins (max_df=None).
+        joined = (
+            ta.alias("a").join(tb.alias("b"), "token")
+            .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"), "token")
+        )
+    else:
+        joined = salted_token_join(
+            ta, tb, n_salt=n_salt, hot_df_threshold=hot_df_threshold, df_table=dfreq, report=report
+        )
     if self_join:
         joined = joined.filter(F.col("id_a") < F.col("id_b"))
     return joined.groupBy("id_a", "id_b").agg(F.count(F.lit(1)).alias("n_shared"))

@@ -44,14 +44,33 @@ def test_lsh_topk_recall(spark, vectors):
     q = vectors.filter(F.col("vec_id") % 5 == 0)
     corpus = vectors.filter(F.col("vec_id") % 5 != 0)
     exact = brute_force_topk(q, corpus, k=3).cache()
-    approx = lsh_topk(q, corpus, k=3, n_planes=6, dim=16, n_probes=3).cache()
+    report = {}
+    approx = lsh_topk(q, corpus, k=3, n_planes=6, dim=16, n_tables=4, n_probes=3, report=report).cache()
     rec = recall_at_k(exact, approx, k=3)
-    assert rec >= 0.6, f"LSH recall@3 too low: {rec}"
+    assert rec >= 0.9, f"multi-table LSH recall@3 too low: {rec}"
+    # bucket-size accounting is always reported, never silent
+    print("ann bucket histogram:", report["bucket_histogram"])
+    assert report["buckets_dropped"] == 0 and report["bucket_histogram"][0]["n_buckets"] > 0
     # approx scores are true cosines (no approximation in the score itself)
     a = approx.select("q_id", "c_id", F.col("cos").alias("cos_a"))
     e = exact.select("q_id", "c_id", F.col("cos").alias("cos_e"))
     j = a.join(e, ["q_id", "c_id"]).select((F.col("cos_a") - F.col("cos_e")).alias("d"))
     assert all(abs(r["d"]) < 1e-12 for r in j.collect())
+
+
+def test_lsh_topk_bucket_cap_drops_boilerplate(spark, vectors):
+    """A degenerate corpus (many identical vectors -> one mega-bucket per
+    table) is capped: the join is bounded and the drop is reported."""
+    boiler = vectors.select(F.col("vec_id") + 1000, F.col("embedding")).limit(1).collect()[0]
+    degenerate = spark.createDataFrame(
+        [(1000 + i, boiler["embedding"]) for i in range(40)], "vec_id bigint, embedding array<double>"
+    )
+    q = vectors.filter(F.col("vec_id") < 3)
+    report = {}
+    out = lsh_topk(q, degenerate, k=3, n_planes=6, dim=16, n_tables=2, max_bucket=10, report=report)
+    assert report["buckets_dropped"] >= 2  # the mega-bucket in each table
+    assert report["dropped_mass"] >= 80
+    assert out.count() == 0  # nothing survives the cap in this pathological corpus
 
 
 def test_media_feature_extraction_plumbing(spark, docs300):
