@@ -21,10 +21,17 @@ Ported semantics:
       examples/data_1/learned_settings.json)
   J7  unique-key auto-label           -> :func:`auto_label`
 
-Interactive-only machinery (L7 expansion schedules, L9 proposal policy,
-L12 undo, L13 custom search) belongs to the reference's console labeller and
-is out of scope for the batch engine (SURVEY.md §7.3: the unique-key oracle
-replaces the human).
+  L6  core filter                     -> :func:`filter_by_core` (+ the
+      precision floor in :func:`filter_by_precision`)
+  L7  expansion schedules             -> :func:`expand_by_core` /
+      :func:`expand_by_boost` / :func:`calibrate_cascade_adaptive`
+      (es_labeller.py:2114-2267, 420-499 re-expressed for batch: with all
+      labels known up front, every schedule step whose positive-label
+      trigger is reached applies once, in the reference's order)
+
+Interactive-only machinery (L9 proposal policy, L12 undo, L13 custom search)
+belongs to the reference's console labeller and is out of scope for the
+batch engine (SURVEY.md §7.3: the unique-key oracle replaces the human).
 """
 
 from __future__ import annotations
@@ -263,6 +270,154 @@ def calibrate_cascade(
     n_pos = int((pdf["label"] == "y").sum())
     scored = filter_by_precision(scored, n_pos)
     scored.sort(key=lambda t: -t.score)
+    return scored[:max_queries]
+
+
+# ---------------------------------------------------------------------------
+# core scoring (CoreScorer), L6 core filter, L7 expansion schedules
+# ---------------------------------------------------------------------------
+CORE_WEAK_SCORE = 0.1    # filter_by_core MIN_SCORE, es_labeller.py:2170
+CORE_STRONG_SCORE = 0.7  # expand_by_core MIN_SCORE, es_labeller.py:2242
+FILTER_BY_CORE_POSITIVES = 10  # FILTER_BY_CORE_IDXS = [10, 20], es_labeller.py:2095
+EXPAND_BY_CORE_POSITIVES = 11  # EXPAND_BY_CORE_IDXS = {11, 17}, es_labeller.py:2119
+EXPAND_BY_BOOST_POSITIVES = 14  # EXPAND_BY_BOOST_IDXS = {14, ...}, es_labeller.py:2120
+
+
+def clause_core(c: Clause) -> tuple:
+    """A clause's *core* = its column pairing, analyzer-agnostic
+    (the reference's SingleQueryTemplate.core carries the cols)."""
+    return (c.proj_a, str(c.proj_b))
+
+
+def core_scores(pdf: pd.DataFrame, singles: list[Clause], clause_col) -> dict[tuple, tuple[Clause, float]]:
+    """CoreScorer semantics (es_labeller.py:615-637): a core's score is the
+    proportion of labelled TRUE matches with a positive signal on that
+    pairing (>=1 shared analyzed token <=> clause feature > 0). Per core we
+    keep the best channel's (clause, score) — a pairing is weak only when NO
+    analyzer carries signal."""
+    pos = pdf[pdf["label"] == "y"]
+    out: dict[tuple, tuple[Clause, float]] = {}
+    for c in singles:
+        col = clause_col(c)
+        if col not in pdf.columns:
+            continue
+        score = float((pos[col].astype("float64").fillna(0.0) > 0).mean()) if len(pos) else 0.0
+        k = clause_core(c)
+        if k not in out or score > out[k][1]:
+            out[k] = (c, score)
+    return out
+
+
+def filter_by_core(templates: list[Template], weak_cores: set[tuple]) -> list[Template]:
+    """L6 filter_by_core (es_labeller.py:2163-2178 + new_template_restricted,
+    502-543): strip every clause whose core scored <= CORE_WEAK_SCORE; drop
+    templates left without a must clause; dedupe restrictions."""
+    out, seen = [], set()
+    for t in templates:
+        clauses = [c for c in t.clauses if clause_core(c) not in weak_cores]
+        if not any(c.bool_lvl == "must" for c in clauses):
+            continue
+        nt = Template(clauses)
+        if nt.key() not in seen:
+            seen.add(nt.key())
+            out.append(nt)
+    return out
+
+
+def expand_by_core(templates: list[Template], strong_cores: list[Clause]) -> list[Template]:
+    """L7 expand_by_core (es_labeller.py:2237-2252 + multiply_by_core,
+    461-499): multiply each template by every strong core not already among
+    its musts, as an additional must clause; originals kept; analyzer
+    dominance pruning applied; dedupe by canonical key."""
+    out = {t.key(): t for t in templates}
+    for t in templates:
+        t_cores = {clause_core(c) for c in t.clauses if c.bool_lvl == "must"}
+        for cq in strong_cores:
+            if clause_core(cq) in t_cores:
+                continue
+            nt = Template(list(t.clauses) + [Clause("must", cq.proj_a, cq.proj_b, cq.channel, cq.weight)])
+            for p in prune_dominated([nt]):
+                out.setdefault(p.key(), p)
+    return list(out.values())
+
+
+def expand_by_boost(templates: list[Template], multiplier: float = 2.0) -> list[Template]:
+    """L7 expand_by_boost (es_labeller.py:2256-2267 + multiply_by_boost,
+    420-459): for each clause, a variant with that clause's weight
+    multiplied, then every weight scaled back so the total stays at the
+    original sum; originals kept; dedupe by canonical key."""
+    out = {t.key(): t for t in templates}
+    for t in templates:
+        og_total = sum(c.weight for c in t.clauses)
+        if og_total <= 0:
+            continue
+        for i in range(len(t.clauses)):
+            scale = og_total / (og_total + t.clauses[i].weight * (multiplier - 1.0))
+            clauses = [
+                Clause(c.bool_lvl, c.proj_a, c.proj_b, c.channel,
+                       c.weight * (multiplier if j == i else 1.0) * scale)
+                for j, c in enumerate(t.clauses)
+            ]
+            nt = Template(clauses)
+            out.setdefault(nt.key(), nt)
+    return list(out.values())
+
+
+def filter_by_extended_core(templates: list[Template]) -> list[Template]:
+    """Keep the best-scoring variant per extended core — the template's
+    clause set ignoring weights (es_labeller.py:2079-2090): dedupes the
+    boost-perturbed population back to one winner per shape."""
+    groups: dict[tuple, Template] = {}
+    for t in templates:
+        k = tuple(sorted((c.bool_lvl, c.proj_a, str(c.proj_b), c.channel) for c in t.clauses))
+        cur = groups.get(k)
+        if cur is None or t.score > cur.score:
+            groups[k] = t
+    return list(groups.values())
+
+
+def calibrate_cascade_adaptive(
+    pdf: pd.DataFrame,
+    pairings: list[tuple[str, str]],
+    channels: list[str],
+    clause_col,
+    max_queries: int = 3,
+    max_levels: int = 2,
+    t_p: float = 0.965,
+    t_r: float = 0.3,
+    weights: tuple[float, ...] = (1.0,),
+) -> list[Template]:
+    """The full labeller schedule as one batch pass (filter_ + expand_,
+    es_labeller.py:2093-2141): enumerate + prune -> calibrate -> precision
+    floor -> core filter (>=10 positives) -> expand by strong cores (>=11)
+    -> expand boosts (>=14) -> recalibrate the expanded pool -> best per
+    extended core -> precision floor -> sort by score desc, truncate.
+
+    The reference fires these at exact label counts mid-stream; with every
+    label available up front the batch engine applies each step once when
+    its trigger count is reached — same operators, same order, same
+    constants."""
+    n_pos = int((pdf["label"] == "y").sum())
+    pool = prune_dominated(enumerate_templates(pairings, channels, max_levels=max_levels, weights=weights))
+    pool = [t for t in pool if all(clause_col(c) in pdf.columns for c in t.clauses)]
+    scored = [calibrate_template(pdf, t, clause_col, t_p=t_p, t_r=t_r) for t in pool]
+    scored = filter_by_precision(scored, n_pos)
+    singles = [Clause("must", pa, pb, ch, 1.0) for pa, pb in pairings for ch in channels]
+    cores = core_scores(pdf, singles, clause_col)
+    if n_pos >= FILTER_BY_CORE_POSITIVES:
+        weak = {k for k, (_, s) in cores.items() if s <= CORE_WEAK_SCORE}
+        restricted = filter_by_core(scored, weak)
+        if restricted:
+            scored = restricted
+    if n_pos >= EXPAND_BY_CORE_POSITIVES:
+        strong = [c for _, (c, s) in cores.items() if s >= CORE_STRONG_SCORE]
+        scored = expand_by_core(scored, strong)
+    if n_pos >= EXPAND_BY_BOOST_POSITIVES:
+        scored = expand_by_boost(scored)
+    scored = [calibrate_template(pdf, t, clause_col, t_p=t_p, t_r=t_r) for t in scored]
+    scored = filter_by_extended_core(scored)
+    scored = filter_by_precision(scored, n_pos)
+    scored.sort(key=lambda t: (-t.score, t.key()))
     return scored[:max_queries]
 
 

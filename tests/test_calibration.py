@@ -97,6 +97,63 @@ def test_calibrate_template_and_cascade():
     assert len(cascade) == 1 and cascade[0].score > 0
 
 
+def test_expand_by_boost_preserves_weight_total():
+    from merge_machine_spark.plans.calibration import expand_by_boost
+
+    t = Template([Clause("must", "a", "x", "standard", 1.0), Clause("should", "b", "y", "french", 2.0)])
+    out = expand_by_boost([t], multiplier=2.0)
+    assert len(out) == 3  # original + one variant per clause
+    for v in out:
+        assert sum(c.weight for c in v.clauses) == pytest.approx(3.0)
+    # each variant shifts mass toward one clause
+    ratios = sorted(round(v.clauses[0].weight / v.clauses[1].weight, 4) for v in out)
+    assert len(set(ratios)) == 3
+
+
+def test_filter_by_core_strips_weak_clauses():
+    from merge_machine_spark.plans.calibration import clause_core, filter_by_core
+
+    t1 = Template([Clause("must", "a", "x", "standard", 1.0), Clause("must", "b", "y", "standard", 1.0)])
+    t2 = Template([Clause("must", "b", "y", "standard", 1.0)])
+    weak = {clause_core(Clause("must", "b", "y", "standard", 1.0))}
+    out = filter_by_core([t1, t2], weak)
+    # t1 restricts to its a|x clause; t2 loses its only must and is dropped
+    assert len(out) == 1 and [clause_core(c) for c in out[0].clauses] == [("a", "x")]
+
+
+def test_adaptive_cascade_expansion_strictly_improves():
+    """L7 done-check (VERDICT r1 #6): on a fixture where each single-clause
+    template is polluted by one-sided high-scoring negatives, the expanded
+    (core-multiplied) compound separates perfectly and beats every initial
+    template's score."""
+    from merge_machine_spark.plans.calibration import calibrate_cascade_adaptive, core_scores
+
+    rows = []
+    for i in range(15):  # positives fire on both pairings
+        rows.append({"id_a": f"p{i}", "id_b": f"r{i}", "label": "y", "fax": 0.9, "fby": 0.9})
+    for i in range(7):  # negatives type A: only a|x fires, above the matches
+        rows.append({"id_a": f"na{i}", "id_b": f"x{i}", "label": "n", "fax": 0.95, "fby": None})
+    for i in range(8):  # negatives type B: only b|y fires, above the matches
+        rows.append({"id_a": f"nb{i}", "id_b": f"x{i}", "label": "n", "fax": None, "fby": 0.95})
+    pdf = pd.DataFrame(rows)
+    pairings = [("a", "x"), ("b", "y")]
+    col = lambda c: {"a": "fax", "b": "fby"}[c.proj_a]
+
+    # initial pool: singles only (max_levels=1) — its best is insufficient
+    singles = prune_dominated(enumerate_templates(pairings, ["standard"], max_levels=1))
+    initial = [calibrate_template(pdf, t, col) for t in singles]
+    best_single = max(t.score for t in initial)
+    assert max(t.precision for t in initial) < 0.7  # genuinely polluted
+
+    cores = core_scores(pdf, [Clause("must", pa, pb, "standard", 1.0) for pa, pb in pairings], col)
+    assert all(s == 1.0 for _, s in cores.values())  # both cores are strong
+
+    cascade = calibrate_cascade_adaptive(pdf, pairings, ["standard"], col, max_levels=1)
+    assert len(cascade[0].clauses) == 2  # expansion built the compound
+    assert cascade[0].precision == 1.0
+    assert cascade[0].score > best_single  # strictly improves
+
+
 def test_params_roundtrip():
     t = Template([Clause("must", "full_text", "full_text", "french_estab", 1.0)], 0.45, 0.99, 0.9, 0.5)
     blob = export_params([t], exact_pairs=[("a", "b")])
