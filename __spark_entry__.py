@@ -671,28 +671,71 @@ def q_minhash_lsh_pairs(spark, sf_dir):
 
 
 def q_simhash_buckets(spark, sf_dir):
-    """SimHash near-dup buckets: 16-bit signature from per-token xxhash64
-    bit votes (rows-only; semantics pytest-verified)."""
+    """SimHash near-dup buckets: 16-bit signature from per-token bit votes.
+    Bit i of a token = parity of hex digit i of md5(token) — chosen because
+    BOTH engines compute it identically, which upgrades this entry from
+    rows-only to a full DuckDB oracle (VERDICT r1 #9). md5 in a Spark
+    expression anti-scales with threads (synchronized Provider lookup);
+    production SimHash should use xxhash64 — the bucketing semantics under
+    test are hash-agnostic."""
     docs = _t(spark, sf_dir, "documents")
     toks = F.filter(F.split(F.lower(F.coalesce(F.col("text"), F.lit(""))), _TOKEN_SPLIT), lambda t: t != F.lit(""))
+    def bit_at(i):
+        # NB: a one-arg lambda is required — a default-arg capture (lambda
+        # t, i=i: ...) reads as a two-arg (element, index) HOF lambda
+        return lambda t: F.conv(F.substring(F.md5(t), i + 1, 1), 16, 10).cast("int") % 2 == 1
+
     sig = F.lit(0)
     for i in range(16):
         mask = 1 << i
-        vote = F.size(F.filter(toks, lambda t, m=mask: F.xxhash64(t).bitwiseAND(F.lit(m)) != 0)) * 2 > F.size(toks)
+        vote = F.size(F.filter(toks, bit_at(i))) * 2 > F.size(toks)
         sig = sig + F.when(vote, F.lit(mask)).otherwise(F.lit(0))
-    out = docs.select("doc_id", sig.alias("simhash16"))
+    out = docs.select("doc_id", sig.cast("bigint").alias("simhash16"))
     return out.withColumn("bucket_n", F.count(F.lit(1)).over(Window.partitionBy("simhash16")))
 
 
 def q_connected_components(spark, sf_dir):
-    """Transitive clustering over blocking-pair edges (iterative star joins;
-    rows-only — property-tested against a union-find oracle in pytest)."""
+    """Transitive clustering over blocking-pair edges (iterative star joins)
+    — oracled against a DuckDB recursive-CTE min-label propagation."""
     from merge_machine_spark.operators.clustering import connected_components
 
     pairs = _block_pairs(spark, sf_dir).select(
         F.col("id_a").cast("string").alias("id_a"), F.col("id_b").cast("string").alias("id_b")
     )
     return connected_components(pairs)
+
+
+SQL_CONNECTED_COMPONENTS = f"""
+WITH RECURSIVE
+pairs AS ({_SQL_BLOCK_PAIRS}),
+edges AS (
+  SELECT DISTINCT least(CAST(id_a AS VARCHAR), CAST(id_b AS VARCHAR)) AS u,
+                  greatest(CAST(id_a AS VARCHAR), CAST(id_b AS VARCHAR)) AS v
+  FROM pairs WHERE CAST(id_a AS VARCHAR) <> CAST(id_b AS VARCHAR)),
+und AS (SELECT u AS n, v AS m FROM edges UNION SELECT v, u FROM edges),
+reach(n, r) AS (
+  SELECT n, n FROM (SELECT DISTINCT n FROM und)
+  UNION
+  SELECT und.n, reach.r FROM und JOIN reach ON und.m = reach.n
+)
+SELECT n AS doc_id, min(r) AS cluster_id FROM reach GROUP BY n
+"""
+
+
+SQL_SIMHASH = """
+WITH t AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(coalesce(text,'')), '[^a-z0-9]+'), x -> x <> '') AS toks
+  FROM documents),
+sig AS (
+  SELECT doc_id, CAST(({terms}) AS BIGINT) AS simhash16 FROM t)
+SELECT doc_id, simhash16, count(*) OVER (PARTITION BY simhash16) AS bucket_n FROM sig
+""".format(
+    terms=" + ".join(
+        "(CASE WHEN 2 * len(list_filter(toks, x -> (strpos('0123456789abcdef', substr(md5(x), {p}, 1)) - 1) % 2 = 1)) > len(toks) THEN {m} ELSE 0 END)".format(p=i + 1, m=1 << i)
+        for i in range(16)
+    )
+)
 
 
 def q_ann_lsh_top3(spark, sf_dir):
@@ -790,10 +833,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_pricing_summary": q_tpch_pricing_summary,
         "tpch_top_orders": q_tpch_top_orders,
         "events_hourly_rollup": q_events_hourly_rollup,
-        # rows-only (non-SQL-expressible; pytest oracles)
-        "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "simhash_buckets": q_simhash_buckets,
         "connected_components": q_connected_components,
+        # rows-only (non-SQL-expressible; pytest oracles)
+        "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "french_analyzer_tokens": q_french_analyzer_tokens,
         "ann_lsh_top3": q_ann_lsh_top3,
     }
@@ -826,4 +869,6 @@ def oracle_sql() -> dict[str, str]:
         "tpch_pricing_summary": SQL_TPCH_Q1,
         "tpch_top_orders": SQL_TPCH_Q3,
         "events_hourly_rollup": SQL_HOURLY,
+        "simhash_buckets": SQL_SIMHASH,
+        "connected_components": SQL_CONNECTED_COMPONENTS,
     }

@@ -168,13 +168,30 @@ def gazetteer(col: Column | str, keep_translate: dict[str, str], shingle_sep: st
 
 
 def gazetteer_join(
-    df: DataFrame, col: str, dim: DataFrame, out: str, alias_col: str = "alias", canon_col: str = "canonical"
+    df: DataFrame,
+    col: str,
+    dim: DataFrame,
+    out: str,
+    alias_col: str = "alias",
+    canon_col: str = "canonical",
+    shingle_sep: str = " ",
 ) -> DataFrame:
-    """Scale path for F6/F7: explode tokens, broadcast-join the gazetteer
-    dim, re-aggregate to array — the dim is broadcast so df never shuffles."""
+    """Scale path for F6/F7: explode tokens AND 1-2 token shingles (same
+    candidate stream as :func:`gazetteer`, so multi-word aliases like
+    'saint etienne' resolve), broadcast-join the gazetteer dim,
+    re-aggregate to array — the dim is broadcast so df never shuffles."""
     toks = _non_empty(F.split(F.lower(fold_ascii(F.coalesce(F.col(col), F.lit("")))), r"[^a-z0-9]+"))
+    n = F.size(toks)
+    bigrams = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(n - 1, F.lit(1))),
+            lambda i: F.concat_ws(shingle_sep, F.element_at(toks, i), F.element_at(toks, i + 1)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    stream = F.concat(toks, bigrams)
     other = list(df.columns)
-    exploded = df.select(*other, F.posexplode_outer(toks).alias("_pos", "_tok"))
+    exploded = df.select(*other, F.posexplode_outer(stream).alias("_pos", "_tok"))
     joined = exploded.join(F.broadcast(dim), exploded["_tok"] == dim[alias_col], "left")
     return (
         joined.groupBy(*other)

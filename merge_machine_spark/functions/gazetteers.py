@@ -60,6 +60,55 @@ COUNTRY_GAZETTEER: dict[str, str] = {
 }
 
 
+def load_gazetteer_dim(
+    spark,
+    source,
+    name_col: str = "name",
+    alternates_col: str = "alternates",
+    alt_sep: str = "|",
+    join_char: str = " ",
+):
+    """S7 real gazetteer ingest — the DataFrame analog of the reference's
+    dump -> keep/synonym resource build (gen_resources.py:85-259,
+    write_keep_syn): from a (name, alternates) dump (CSV path or DataFrame;
+    ``alternates`` is an ``alt_sep``-separated list) produce the broadcast
+    dim (alias, canonical) that :func:`~.analyzers.gazetteer_join` consumes.
+
+    Normalization mirrors write_keep_syn: asciifold, '-'/'\\'' -> space,
+    lowercase, strip, collapse whitespace to ``join_char`` (the reference
+    uses '_'; the city channel shingles with ' '). The name itself is always
+    one of its aliases; empty aliases are dropped; (alias, canonical) pairs
+    are distinct. Runs as pure DataFrame ops — a 100M geonames dump ingests
+    distributed, then broadcasts only the dim."""
+    from pyspark.sql import functions as F
+
+    from .analyzers import fold_ascii
+
+    df = spark.read.option("header", True).csv(source) if isinstance(source, str) else source
+
+    def norm(c):
+        folded = F.lower(fold_ascii(F.translate(c, "-'", "  ")))
+        return F.regexp_replace(F.trim(folded), r"\s+", join_char)
+
+    import re
+
+    base = df.select(
+        norm(F.col(name_col)).alias("canonical"),
+        F.concat(
+            F.array(F.col(name_col)),
+            F.coalesce(F.split(F.col(alternates_col), re.escape(alt_sep), -1), F.array().cast("array<string>")),
+        ).alias("_alts"),
+    )
+    out = (
+        base.select("canonical", F.explode("_alts").alias("_raw"))
+        .select("canonical", norm(F.col("_raw")).alias("alias"))
+        .filter((F.col("alias") != "") & (F.col("canonical") != ""))
+        .select("alias", "canonical")
+        .distinct()
+    )
+    return out
+
+
 def city(col):
     from .analyzers import gazetteer
 

@@ -85,3 +85,37 @@ def test_gazetteer_keep_translate(spark):
 
 def test_keyword_exact(spark):
     assert _run(spark, A.keyword(F.col("t")), "As Is") == ["As Is"]
+
+
+def test_gazetteer_ingest_large_dim(spark, tmp_path):
+    """S7 real ingest (VERDICT r1 #10): a >=1k-entry (name, alternates) dump
+    loads into the broadcast dim with the reference's write_keep_syn
+    normalization, and gazetteer_join resolves unigram AND multi-word
+    aliases against it."""
+    import csv
+
+    from merge_machine_spark.functions.analyzers import gazetteer_join
+    from merge_machine_spark.functions.gazetteers import load_gazetteer_dim
+
+    path = str(tmp_path / "cities.csv")
+    with open(path, "w", newline="") as f:
+        w = csv.writer(f)
+        w.writerow(["name", "alternates"])
+        for i in range(1100):
+            # accented, hyphenated, and short alternates per canonical
+            w.writerow([f"ville {i:04d}", f"villé {i:04d}|ville-{i:04d}|v{i:04d}"])
+        w.writerow(["saint etienne", "st-étienne|saint étienne"])
+    dim = load_gazetteer_dim(spark, path).cache()
+    assert dim.count() >= 2200  # canonical + distinct normalized alternates
+    got = {r["alias"]: r["canonical"] for r in dim.filter(F.col("canonical") == "ville 0042").collect()}
+    # accented + hyphen variants normalize onto the canonical alias
+    assert got == {"ville 0042": "ville 0042", "v0042": "ville 0042"}
+
+    docs = spark.createDataFrame(
+        [("d1", "HQ at villé 0042 tower"), ("d2", "moved to St-Étienne"), ("d3", "no city here")],
+        "doc_id string, t string",
+    )
+    out = {r["doc_id"]: r["cities"] for r in gazetteer_join(docs, "t", dim, "cities").collect()}
+    assert "ville 0042" in out["d1"]
+    assert "saint etienne" in out["d2"]  # multi-word alias via bigram shingle
+    assert out["d3"] == []
