@@ -90,6 +90,10 @@ def _duckdb_jw_batch(a: pd.Series, b: pd.Series) -> pd.Series | None:
             import duckdb
 
             _DUCK_CON = duckdb.connect()
+            # one thread per Spark python worker: the executor already runs
+            # one worker per core; a default (all-cores) DuckDB pool inside
+            # EACH worker oversubscribes cores^2-fold and collapses throughput
+            _DUCK_CON.execute("SET threads=1")
             _DUCK_CON.execute("SET preserve_insertion_order=true")
         batch = pd.DataFrame({"i": np.arange(len(a)), "a": a.to_numpy(), "b": b.to_numpy()})
         _DUCK_CON.register("_jw_batch", batch)

@@ -126,44 +126,22 @@ def score_pairs(
     return out.drop("_txt_a", "_txt_b")
 
 
-def fused_pair_features(
+def payload_pair_features(
     pairs: DataFrame,
-    side_a: DataFrame,
-    side_b: DataFrame,
-    col_a: str,
-    col_b: str,
-    channel: str,
+    payload_a: DataFrame,
+    payload_b: DataFrame,
     weights: dict[str, float],
-    jw_prefix: int | None = 96,
     broadcast_sides: bool = True,
     score_col: str = "score",
 ) -> DataFrame:
-    """Scale path for pair feature scoring: analyze each doc ONCE per side
-    (n_docs analyzer calls, not n_pairs), ship the per-doc payload (bounded
-    text prefix + distinct token arrays) to the pair table — broadcast when
-    requested so the pair shuffle carries only ids — and compute features as
-    JVM array ops; only Jaro-Winkler (bounded prefix) stays Python/Arrow.
-    Adds each feature column named by ``weights`` plus the weighted-sum
-    ``score_col`` (a pre-existing 'tfidf_cosine' column on ``pairs`` is used
-    as-is when weighted)."""
-    from ..functions import analyzers as A
+    """Feature-score candidate pairs from prebuilt per-doc payloads
+    (doc_id + the subset of _txt / _tok / _toki the weights need). Payloads
+    broadcast when requested so the pair shuffle carries only ids; features
+    are JVM array ops except the Arrow-batched Jaro-Winkler."""
     from ..functions import similarity as S
 
-    def mk_side(df: DataFrame, col: str):
-        txt = F.col(col)
-        cols = [F.col("doc_id")]
-        if "jaro_winkler" in weights or "lev_norm" in weights:
-            cols.append((F.substring(txt, 1, jw_prefix) if jw_prefix else txt).alias("_txt"))
-        if "token_jaccard" in weights:
-            cols.append(F.array_distinct(A.analyze(txt, channel)).alias("_tok"))
-        if "int_jaccard" in weights:
-            cols.append(F.array_distinct(A.analyze(txt, "integers")).alias("_toki"))
-        return df.select(*cols)
-
-    a = mk_side(side_a, col_a)
-    b = mk_side(side_b, col_b)
-    a = a.select([F.col(c).alias(f"{c}_a" if c != "doc_id" else "id_a") for c in a.columns])
-    b = b.select([F.col(c).alias(f"{c}_b" if c != "doc_id" else "id_b") for c in b.columns])
+    a = payload_a.select([F.col(c).alias(f"{c}_a" if c != "doc_id" else "id_a") for c in payload_a.columns])
+    b = payload_b.select([F.col(c).alias(f"{c}_b" if c != "doc_id" else "id_b") for c in payload_b.columns])
     if broadcast_sides:
         a, b = F.broadcast(a), F.broadcast(b)
     scored = pairs.join(a, "id_a").join(b, "id_b")
@@ -186,6 +164,47 @@ def fused_pair_features(
         piece = F.coalesce(F.col(name), F.lit(0.0)) * F.lit(float(w))
         total = piece if total is None else total + piece
     return scored.withColumn(score_col, total)
+
+
+def feature_payload(df: DataFrame, col: str, channel: str, weights: dict[str, float], jw_prefix: int | None):
+    """(doc_id, <text col>) -> the per-doc payload the weighted features
+    need: bounded text prefix, distinct channel tokens, integer tokens."""
+    from ..functions import analyzers as A
+
+    txt = F.col(col)
+    cols = [F.col("doc_id")]
+    if "jaro_winkler" in weights or "lev_norm" in weights:
+        cols.append((F.substring(txt, 1, jw_prefix) if jw_prefix else txt).alias("_txt"))
+    if "token_jaccard" in weights:
+        cols.append(F.array_distinct(A.analyze(txt, channel)).alias("_tok"))
+    if "int_jaccard" in weights:
+        cols.append(F.array_distinct(A.analyze(txt, "integers")).alias("_toki"))
+    return df.select(*cols)
+
+
+def fused_pair_features(
+    pairs: DataFrame,
+    side_a: DataFrame,
+    side_b: DataFrame,
+    col_a: str,
+    col_b: str,
+    channel: str,
+    weights: dict[str, float],
+    jw_prefix: int | None = 96,
+    broadcast_sides: bool = True,
+    score_col: str = "score",
+) -> DataFrame:
+    """Scale path for pair feature scoring: analyze each doc ONCE per side
+    (n_docs analyzer calls, not n_pairs), ship the per-doc payload (bounded
+    text prefix + distinct token arrays) to the pair table — broadcast when
+    requested so the pair shuffle carries only ids — and compute features as
+    JVM array ops; only Jaro-Winkler (bounded prefix) stays Python/Arrow.
+    Adds each feature column named by ``weights`` plus the weighted-sum
+    ``score_col`` (a pre-existing 'tfidf_cosine' column on ``pairs`` is used
+    as-is when weighted)."""
+    a = feature_payload(side_a, col_a, channel, weights, jw_prefix)
+    b = feature_payload(side_b, col_b, channel, weights, jw_prefix)
+    return payload_pair_features(pairs, a, b, weights, broadcast_sides=broadcast_sides, score_col=score_col)
 
 
 def fused_pair_features_best_field(

@@ -30,7 +30,7 @@ from ..functions.textproj import project_documents
 from ..operators import cascade as C
 from ..operators.blocking import BlockingReport, explode_tokens, lsh_candidate_pairs
 from ..operators.clustering import assignments_with_singletons, connected_components
-from ..operators.scoring import fused_pair_features, fused_pair_features_best_field, tfidf_cosine_pairs
+from ..operators.scoring import fused_pair_features_best_field, payload_pair_features, tfidf_cosine_pairs
 from ..sources.checkpoints import StageStore
 
 
@@ -75,8 +75,21 @@ class ResolveConfig:
 
 
 def _pair_scores(proj: DataFrame, cfg: ResolveConfig, n_docs: int) -> DataFrame:
-    """Candidate generation fused with TF-IDF + similarity features."""
-    tok = explode_tokens(proj, "doc_id", A.analyze(cfg.block_proj, cfg.block_channel), with_tf=True)
+    """Candidate generation fused with TF-IDF + similarity features.
+
+    The block-channel analyzer (a pandas UDF for the French channels — the
+    single most expensive per-doc op) runs ONCE per doc: the analyzed token
+    array is cached and feeds BOTH the TF-IDF token table and the
+    token_jaccard payload."""
+    analyzed_cols = [F.col("doc_id"), A.analyze(cfg.block_proj, cfg.block_channel).alias("_rawtok")]
+    if "jaro_winkler" in cfg.weights or "lev_norm" in cfg.weights:
+        txt = F.col(cfg.block_proj)
+        analyzed_cols.append((F.substring(txt, 1, cfg.jw_prefix) if cfg.jw_prefix else txt).alias("_txt"))
+    if "int_jaccard" in cfg.weights:
+        analyzed_cols.append(F.array_distinct(A.analyze(cfg.block_proj, "integers")).alias("_toki"))
+    analyzed = proj.select(*analyzed_cols).persist()
+
+    tok = explode_tokens(analyzed, "doc_id", F.col("_rawtok"), with_tf=True)
     pairs = tfidf_cosine_pairs(tok, max_df=cfg.max_df, n_docs=n_docs)
     if cfg.use_lsh:
         # LSH-sourced pairs carry provenance: the whole point of the channel
@@ -106,10 +119,15 @@ def _pair_scores(proj: DataFrame, cfg: ResolveConfig, n_docs: int) -> DataFrame:
     # analyze per doc, broadcast the payload (when it fits), shuffle ids only.
     # Beyond broadcastable size, bucket/co-partition both sides by doc_id.
     broadcast = cfg.broadcast_sides is True or (cfg.broadcast_sides is None and n_docs <= cfg.broadcast_max_docs)
-    return fused_pair_features(
-        pairs, proj, proj, cfg.block_proj, cfg.block_proj,
-        channel=cfg.block_channel, weights=cfg.weights, jw_prefix=cfg.jw_prefix, broadcast_sides=broadcast,
-    )
+    payload_cols = [F.col("doc_id")]
+    if "jaro_winkler" in cfg.weights or "lev_norm" in cfg.weights:
+        payload_cols.append(F.col("_txt"))
+    if "token_jaccard" in cfg.weights:
+        payload_cols.append(F.array_distinct(F.col("_rawtok")).alias("_tok"))
+    if "int_jaccard" in cfg.weights:
+        payload_cols.append(F.col("_toki"))
+    payload = analyzed.select(*payload_cols)
+    return payload_pair_features(pairs, payload, payload, cfg.weights, broadcast_sides=broadcast)
 
 
 def resolve(
