@@ -160,6 +160,20 @@ def apply_overrides(
     return out
 
 
+def majority_vote(df: DataFrame, key_cols: list[str], vote_col: str, out_col: str = "vote") -> DataFrame:
+    """A7 majority vote: the most frequent ``vote_col`` value per key, ties
+    broken on the vote value for determinism — the reference's agreement
+    pattern across a duplicate group's individual matches (labelled
+    duplicates vote on the group's answer)."""
+    counts = df.groupBy(*key_cols, vote_col).agg(F.count(F.lit(1)).alias("n_votes"))
+    w = Window.partitionBy(*key_cols).orderBy(F.desc("n_votes"), F.asc(vote_col))
+    return (
+        counts.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(*key_cols, F.col(vote_col).alias(out_col), "n_votes")
+    )
+
+
 def deduplicate_source(source: DataFrame, match_cols: list[str], min_diff_prop: float = 0.1):
     """A1 (es_match.py:110-149): collapse source rows identical on the match
     columns before the expensive search, keeping a representative per group

@@ -116,6 +116,10 @@ class Template:
     precision: float = 0.0
     recall: float = 0.0
     score: float = 0.0
+    # A5 inclusion ratio (es_labeller.py:408): share of labelled source rows
+    # where ANY of the template's candidates is the true match (not just the
+    # best-scoring one) — how often the template *retrieves* the answer.
+    inclusion_ratio: float = 0.0
 
     def key(self) -> tuple:
         # str(proj_b): multi_match clauses carry a tuple of ref columns,
@@ -217,17 +221,19 @@ def calibrate_template(
     d = pdf[pdf["label"].isin(["y", "n"])].copy()
     d["_score"] = template_pair_scores(d, template, clause_col)
     summaries = []
+    any_is_match = []
     for _, grp in d.groupby("id_a", sort=False):
         cand = grp[grp["_score"].notna()]
         if len(cand):
             best = cand.loc[cand["_score"].idxmax()]
             summaries.append((float(best["_score"]), best["label"] == "y", True))
+            any_is_match.append(bool((cand["label"] == "y").any()))
         else:
             # no candidate for this row under this template
             summaries.append((0.0, False, False))
+            any_is_match.append(False)
     if not summaries:
         return template
-    arr = np.array(summaries, dtype="object")
     thresh, precision, recall, score = compute_metrics(
         np.array([x[0] for x in summaries]),
         np.array([x[1] for x in summaries]),
@@ -235,7 +241,8 @@ def calibrate_template(
         t_p=t_p,
         t_r=t_r,
     )
-    return Template(template.clauses, thresh, precision, recall, score)
+    inclusion = float(np.mean(any_is_match))  # A5, es_labeller.py:408
+    return Template(template.clauses, thresh, precision, recall, score, inclusion)
 
 
 def filter_by_precision(templates: list[Template], num_positives: int, min_keep: int = 3) -> list[Template]:
@@ -271,6 +278,56 @@ def calibrate_cascade(
     scored = filter_by_precision(scored, n_pos)
     scored.sort(key=lambda t: -t.score)
     return scored[:max_queries]
+
+
+def calibrate_cascade_greedy(
+    pdf: pd.DataFrame,
+    templates: list[Template],
+    clause_col,
+    max_queries: int = 3,
+    t_p: float = 0.965,
+    t_r: float = 0.3,
+) -> list[Template]:
+    """L10 greedy set-cover ordering — the reference's
+    ``_iterative_metrics_and_sort`` (es_labeller.py:1351-1430): pick the
+    best-scoring template over the STILL-UNCOVERED source rows, mark the
+    rows its learned threshold covers as matched, re-score the remaining
+    templates on the residual, repeat. Stops when the residual is <=3 rows
+    (after the first pick), a pick stops improving on its predecessor, or
+    ``min(max((positives-4)//2, 1), max_queries)`` picks are made; unpicked
+    templates append after, sorted by full-set score. This beats plain
+    sort-by-score (L10's default METHOD) when the best templates cover
+    overlapping subsets."""
+    d = pdf[pdf["label"].isin(["y", "n"])]
+    n_pos = int((d["label"] == "y").sum())
+    scored_full = [calibrate_template(d, t, clause_col, t_p=t_p, t_r=t_r) for t in templates]
+    scored_full.sort(key=lambda t: -t.score)
+    max_iterations = min(max((n_pos - 4) // 2, 1), max_queries)
+
+    unmatched = set(dict.fromkeys(d["id_a"]))
+    ordered: list[Template] = []
+    remaining = list(scored_full)
+    for i in range(min(max_iterations, len(remaining))):
+        if not unmatched or (len(unmatched) <= 3 and i > 0):
+            break
+        residual = d[d["id_a"].isin(unmatched)]
+        rescored = [calibrate_template(residual, t, clause_col, t_p=t_p, t_r=t_r) for t in remaining]
+        best_i = max(range(len(rescored)), key=lambda j: rescored[j].score)
+        best = rescored[best_i]
+        if ordered and best.score < ordered[-1].score:
+            break
+        remaining.pop(best_i)
+        ordered.append(best)
+        # rows the pick covers: best-hit score clears the learned threshold
+        res = residual.copy()
+        res["_score"] = template_pair_scores(res, best, clause_col)
+        for src, grp in res.groupby("id_a", sort=False):
+            cand = grp[grp["_score"].notna()]
+            if len(cand) and float(cand["_score"].max()) >= best.thresh:
+                unmatched.discard(src)
+    picked_keys = {t.key() for t in ordered}
+    ordered += [t for t in scored_full if t.key() not in picked_keys]
+    return ordered[:max_queries]
 
 
 # ---------------------------------------------------------------------------

@@ -29,8 +29,15 @@ from merge_machine_spark.sources.synth import generate_documents
 
 cores = int(os.environ["CORES"])
 n_entities = int(os.environ["N_ENTITIES"])
-spark = get_spark(f"scaling_{cores}", cores=cores)
-docs = generate_documents(spark, n_entities, seed=42).select("doc_id", "spans").persist()
+# 4 partitions per core: at 1 partition/core the wave has no slack and one
+# straggler task idles the rest of the pool (measured ~35% utilization on
+# the analyzer stage); finer tasks load-balance the same way a real
+# multi-executor cluster would.
+spark = get_spark(f"scaling_{cores}", cores=cores, shuffle_partitions=cores * 4)
+docs = (
+    generate_documents(spark, n_entities, seed=42)
+    .select("doc_id", "spans").repartition(cores * 4).persist()
+)
 n_docs = docs.count()
 
 t0 = time.time()

@@ -173,3 +173,52 @@ def test_filter_by_precision_10_positives():
     mk = lambda p: Template([Clause("must", "a", "x", "standard", 1.0)], precision=p, score=p)
     ts = [mk(0.2), mk(0.45), mk(0.6), mk(0.9)]
     assert len(filter_by_precision(ts, num_positives=10)) == 3
+
+
+def test_inclusion_ratio_counts_any_match():
+    """A5 (es_labeller.py:408): the template retrieves the true match for a
+    row even when a decoy outscores it — inclusion_ratio sees it, precision
+    does not."""
+    rows = [
+        # row s0: decoy r_bad outscores the true match r_good (both candidates)
+        {"id_a": "s0", "id_b": "r_bad", "label": "n", "f1": 0.9},
+        {"id_a": "s0", "id_b": "r_good", "label": "y", "f1": 0.8},
+        # row s1: true match is the best
+        {"id_a": "s1", "id_b": "r_5", "label": "y", "f1": 0.9},
+        # row s2: template retrieves nothing (feature null)
+        {"id_a": "s2", "id_b": "r_9", "label": "n", "f1": None},
+    ]
+    pdf = pd.DataFrame(rows)
+    t = calibrate_template(pdf, Template([Clause("must", "a", "x", "standard", 1.0)]), lambda c: "f1")
+    assert t.inclusion_ratio == pytest.approx(2 / 3)
+
+
+def test_greedy_set_cover_beats_plain_sort():
+    """L10 (_iterative_metrics_and_sort): with two near-duplicate strong
+    templates covering the SAME rows and a weaker one covering the rest,
+    greedy picks the complementary template second; plain sort picks the
+    duplicate."""
+    from merge_machine_spark.plans.calibration import calibrate_cascade_greedy
+
+    rows = []
+    for i in range(10):  # half A: covered by f1 and its near-dup f3
+        rows.append({"id_a": f"a{i}", "id_b": f"r{i}", "label": "y",
+                     "f1": 0.9, "f3": 0.89, "f2": None})
+    for i in range(10):  # half B: covered by f2; f3 reaches only 2 rows
+        rows.append({"id_a": f"b{i}", "id_b": f"s{i}", "label": "y",
+                     "f1": None, "f3": 0.89 if i < 2 else None, "f2": 0.7})
+    # negatives so thresholds are meaningful
+    for i in range(6):
+        rows.append({"id_a": f"n{i}", "id_b": f"x{i}", "label": "n",
+                     "f1": 0.1, "f3": 0.1, "f2": 0.1})
+    pdf = pd.DataFrame(rows)
+    mk = lambda name: Template([Clause("must", name, name, "standard", 1.0)])
+    col = lambda c: c.proj_a
+    templates = [mk("f1"), mk("f2"), mk("f3")]
+
+    plain = calibrate_cascade(pdf, templates, col, max_queries=3)
+    greedy = calibrate_cascade_greedy(pdf, templates, col, max_queries=3)
+    first = lambda t: t.clauses[0].proj_a
+    assert first(plain[0]) in ("f1", "f3") and first(plain[1]) in ("f1", "f3")
+    assert first(greedy[0]) == "f3"  # best full-set coverage (12 rows)
+    assert first(greedy[1]) == "f2"  # complementary residual coverage wins slot 2

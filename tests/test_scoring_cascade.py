@@ -110,3 +110,16 @@ def test_jaro_winkler_matches_duckdb():
     for a, b in cases:
         d = con.execute("SELECT jaro_winkler_similarity(?, ?)", [a, b]).fetchone()[0]
         assert jaro_winkler_py(a, b) == pytest.approx(d, abs=1e-12)
+
+
+def test_majority_vote(spark):
+    """A7: most frequent vote per key, deterministic tie-break."""
+    from merge_machine_spark.operators.cascade import majority_vote
+
+    df = spark.createDataFrame(
+        [("g1", "a"), ("g1", "a"), ("g1", "b"), ("g2", "x"), ("g2", "y")],
+        "grp string, match string",
+    )
+    got = {r["grp"]: (r["vote"], r["n_votes"]) for r in majority_vote(df, ["grp"], "match").collect()}
+    assert got["g1"] == ("a", 2)
+    assert got["g2"] == ("x", 1)  # tie -> lexicographically first
