@@ -40,6 +40,27 @@ sections["token table (analyzer UDF + map-side hash aggregate)"] = grab(tok)
 scores = _pair_scores(proj, cfg, n)
 sections["fused blocking + scoring (broadcast payload check)"] = grab(scores)
 
+# beyond the broadcast ceiling the payload co-partitions through the pair
+# shuffle — verify no BroadcastExchange of the payload remains
+cfg_big = ResolveConfig(broadcast_sides=False)
+sections["pair scoring beyond broadcast ceiling (shuffle payload path)"] = grab(_pair_scores(proj, cfg_big, n))
+
+# LSH candidate channel with provenance (exempt from the TF-IDF prefilter)
+cfg_lsh = ResolveConfig(use_lsh=True)
+sections["pair scoring with LSH channel (provenance union)"] = grab(_pair_scores(proj, cfg_lsh, n))
+
+# J2 multi_match best-field tier
+from merge_machine_spark.operators.scoring import fused_pair_features_best_field
+from merge_machine_spark.plans.pipeline import _tier_candidate_pairs
+
+flat = proj.select("doc_id", F.col("full_text").alias("a_txt"), F.col("full_text").alias("b1"), F.col("full_text").alias("b2"))
+mm_pairs, cols_b = _tier_candidate_pairs(flat, flat, "a_txt", ["b1", "b2"], "standard", 64, n)
+mm = fused_pair_features_best_field(
+    mm_pairs, flat, flat, "a_txt", cols_b, channel="standard",
+    weights={"tfidf_cosine": 0.5, "jaro_winkler": 0.25, "token_jaccard": 0.25},
+)
+sections["multi_match best-field tier (greatest over per-column scores)"] = grab(mm)
+
 out = ["# Physical plans — flagship pipeline (captured via .explain('formatted'))\n"]
 out.append("What to verify in each plan (and what we verified):\n"
            "1. the parquet scan of `spans` prunes to needed nested fields;\n"
