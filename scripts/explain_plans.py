@@ -67,7 +67,11 @@ out.append("What to verify in each plan (and what we verified):\n"
            "2. token aggregation is a partial (map-side) HashAggregate before the exchange;\n"
            "3. the pair->payload joins are BroadcastHashJoin (ids-only pair shuffle);\n"
            "4. Python appears ONLY as ArrowEvalPython for the analyzer/JW UDFs;\n"
-           "5. WholeStageCodegen spans cover the JVM feature expressions.\n")
+           "5. WholeStageCodegen spans cover the JVM feature expressions.\n"
+           "NB: at the 500-doc demo size AQE auto-broadcasts every small join side,\n"
+           "so the shuffle-payload section still shows BroadcastHashJoin; the\n"
+           "broadcast_sides=False evidence at scale is the 180k-doc A/B in\n"
+           "BENCH/BASELINE.md.\n")
 for name, text in sections.items():
     out.append(f"\n## {name}\n\n```\n{text}\n```\n")
 with open("PLANS.md", "w") as f:
