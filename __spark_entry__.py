@@ -656,6 +656,84 @@ FROM events GROUP BY 1, 2
 """
 
 
+def q_multi_match_best_field(spark, sf_dir):
+    """J2 multi_match best-field (helpers.py:129-141): each blocked pair
+    scores the source text against TWO ref fields (raw text and its first
+    40 chars), clause score = greatest of the per-field normalized edit
+    similarities; integer-scaled. The engine path
+    (fused_pair_features_best_field) is pytest-verified; this entry pins the
+    greatest()-of-fields semantics against DuckDB."""
+    pairs = _block_pairs(spark, sf_dir).select("id_a", "id_b")
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    b = docs.select(
+        F.col("doc_id").alias("id_b"),
+        F.col("text").alias("f1"),
+        F.substring(F.col("text"), 1, 40).alias("f2"),
+    )
+    j = pairs.join(docs.select(F.col("doc_id").alias("id_a"), F.col("text").alias("ta")), "id_a").join(b, "id_b")
+    lev = "((greatest(length(ta), length({f}), 1) - levenshtein(ta, {f})) * 1000000) div greatest(length(ta), length({f}), 1)"
+    j = j.withColumn("s1", F.expr(lev.format(f="f1"))).withColumn("s2", F.expr(lev.format(f="f2")))
+    best_field = F.when(F.col("s1") >= F.col("s2"), F.lit("f1")).otherwise(F.lit("f2"))
+    return j.select(
+        "id_a", "id_b", F.greatest("s1", "s2").cast("bigint").alias("best_e6"), best_field.alias("best_field")
+    )
+
+
+SQL_MULTI_MATCH = f"""
+WITH pairs AS ({_SQL_BLOCK_PAIRS}),
+j AS (
+  SELECT p.id_a, p.id_b, a.text AS ta, b.text AS f1, substr(b.text, 1, 40) AS f2
+  FROM pairs p JOIN documents a ON a.doc_id = p.id_a JOIN documents b ON b.doc_id = p.id_b),
+s AS (
+  SELECT id_a, id_b,
+    ((greatest(length(ta), length(f1), 1) - levenshtein(ta, f1)) * 1000000)
+      // greatest(length(ta), length(f1), 1) AS s1,
+    ((greatest(length(ta), length(f2), 1) - levenshtein(ta, f2)) * 1000000)
+      // greatest(length(ta), length(f2), 1) AS s2
+  FROM j)
+SELECT id_a, id_b, CAST(greatest(s1, s2) AS BIGINT) AS best_e6,
+       CASE WHEN s1 >= s2 THEN 'f1' ELSE 'f2' END AS best_field
+FROM s
+"""
+
+
+def q_must_filter_phrase(spark, sf_dir):
+    """P3 must filter, analyzed-phrase semantics (helpers.py:145-148
+    match_phrase in the bool filter): keep docs whose standard-analyzed
+    token stream contains the phrase 'the data' contiguously — token-level,
+    not substring (so 'theXdata' and 'data the' do NOT match)."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.lower(F.coalesce(F.col("text"), F.lit(""))), _TOKEN_SPLIT), lambda t: t != F.lit(""))
+    stream = F.concat(F.lit(" "), F.array_join(toks, " "), F.lit(" "))
+    return docs.filter(stream.contains(" the data ")).select("doc_id", "lang", "source")
+
+
+SQL_MUST_PHRASE = """
+SELECT doc_id, lang, source FROM documents
+WHERE ' ' || array_to_string(list_filter(regexp_split_to_array(lower(coalesce(text,'')), '[^a-z0-9]+'),
+                                         t -> t <> ''), ' ') || ' '
+      LIKE '% the data %'
+"""
+
+
+def q_majority_vote_user(spark, sf_dir):
+    """A7 majority vote over events: each user's most frequent event_type,
+    deterministic tie-break on the type value."""
+    from merge_machine_spark.operators.cascade import majority_vote
+
+    ev = _t(spark, sf_dir, "events")
+    return majority_vote(ev, ["user_id"], "event_type")
+
+
+SQL_MAJORITY_VOTE = """
+SELECT user_id, vote, n_votes FROM (
+  SELECT user_id, event_type AS vote, count(*) AS n_votes,
+         row_number() OVER (PARTITION BY user_id ORDER BY count(*) DESC, event_type ASC) AS rn
+  FROM events GROUP BY user_id, event_type
+) WHERE rn = 1
+"""
+
+
 # --- rows-only checks (no SQL-expressible oracle; pytest covers semantics) ----
 def q_minhash_lsh_pairs(spark, sf_dir):
     """MinHash/LSH candidate generation (xxhash64 family — not expressible in
@@ -835,6 +913,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hourly_rollup": q_events_hourly_rollup,
         "simhash_buckets": q_simhash_buckets,
         "connected_components": q_connected_components,
+        "multi_match_best_field": q_multi_match_best_field,
+        "must_filter_phrase": q_must_filter_phrase,
+        "majority_vote_user": q_majority_vote_user,
         # rows-only (non-SQL-expressible; pytest oracles)
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "french_analyzer_tokens": q_french_analyzer_tokens,
@@ -871,4 +952,7 @@ def oracle_sql() -> dict[str, str]:
         "events_hourly_rollup": SQL_HOURLY,
         "simhash_buckets": SQL_SIMHASH,
         "connected_components": SQL_CONNECTED_COMPONENTS,
+        "multi_match_best_field": SQL_MULTI_MATCH,
+        "must_filter_phrase": SQL_MUST_PHRASE,
+        "majority_vote_user": SQL_MAJORITY_VOTE,
     }
