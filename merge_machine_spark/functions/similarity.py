@@ -59,15 +59,18 @@ def _jaro(s1: str, s2: str) -> float:
 
 
 def jaro_winkler_py(s1: str, s2: str, prefix_scale: float = 0.1, boost_threshold: float = 0.7) -> float:
-    """Classic Jaro-Winkler (prefix bonus <=4 chars, applied above the 0.7
+    """Classic Jaro-Winkler (prefix bonus <=4 units, applied above the 0.7
     boost threshold) — semantics match DuckDB's ``jaro_winkler_similarity``
-    so the DuckDB oracle can cross-check the Spark UDF bit-for-bit."""
-    s1 = s1 or ""
-    s2 = s2 or ""
-    j = _jaro(s1, s2)
+    bit-for-bit (hypothesis-tested), INCLUDING its UTF-8 *byte* alphabet:
+    DuckDB matches bytes, not code points, so the fallback encodes first —
+    otherwise the fast path (DuckDB in the worker) and this fallback would
+    disagree on accented text."""
+    b1 = (s1 or "").encode("utf-8")
+    b2 = (s2 or "").encode("utf-8")
+    j = _jaro(b1, b2)
     if j > boost_threshold:
         prefix = 0
-        for a, b in zip(s1[:4], s2[:4]):
+        for a, b in zip(b1[:4], b2[:4]):
             if a == b:
                 prefix += 1
             else:

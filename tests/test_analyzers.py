@@ -119,3 +119,24 @@ def test_gazetteer_ingest_large_dim(spark, tmp_path):
     assert "ville 0042" in out["d1"]
     assert "saint etienne" in out["d2"]  # multi-word alias via bigram shingle
     assert out["d3"] == []
+
+
+def test_jaro_winkler_python_matches_duckdb_property():
+    """Property: the pure-Python Jaro-Winkler fallback is bit-identical to
+    DuckDB's jaro_winkler_similarity (the oracle AND the fast path), so the
+    UDF result cannot depend on which implementation a worker used."""
+    import duckdb
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from merge_machine_spark.functions.similarity import jaro_winkler_py
+
+    con = duckdb.connect()
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.text(alphabet="abcdeé -01", max_size=24), st.text(alphabet="abcdeé -01", max_size=24))
+    def check(a, b):
+        expected = con.execute("SELECT jaro_winkler_similarity(?, ?)", [a, b]).fetchone()[0]
+        assert jaro_winkler_py(a, b) == expected
+
+    check()

@@ -141,3 +141,33 @@ def test_incremental_resolve_batch(spark):
     got = {r["doc_id"]: r["cluster_id"] for r in incremental_resolve_batch(new, idx, threshold=0.4).collect()}
     assert got["n1"] == "c1"  # joined existing cluster
     assert got["n2"] == "n2"  # self-cluster
+
+
+def test_stateful_cluster_assign_across_restarts(spark, tmp_path):
+    """applyInPandasWithState custom stateful operator: per-block cluster
+    registry persists across micro-batches AND across query restarts (the
+    state store lives in the checkpoint), so a doc arriving later joins a
+    representative registered by an earlier run."""
+    from merge_machine_spark.streaming.stateful import run_stateful_assign
+
+    src, out, ck = str(tmp_path / "in"), str(tmp_path / "out"), str(tmp_path / "ck")
+    schema = "block_key string, doc_id string, tokens array<string>"
+    batch1 = [("k1", "d1", ["a", "b", "c"]), ("k1", "d2", ["a", "b", "c", "d"]), ("k2", "e1", ["x", "y"])]
+    spark.createDataFrame(batch1, schema).write.mode("append").parquet(src)
+    q = run_stateful_assign(spark.readStream.schema(schema).parquet(src), out, ck, threshold=0.5)
+    q.awaitTermination(120)
+    got = {r["doc_id"]: r for r in spark.read.parquet(out).collect()}
+    # d1/d2 co-cluster (jaccard 3/4), exactly one registered the cluster
+    assert got["d1"]["cluster_id"] == got["d2"]["cluster_id"]
+    assert sorted([got["d1"]["matched"], got["d2"]["matched"]]) == [False, True]
+    assert got["e1"]["cluster_id"] == "e1" and not got["e1"]["matched"]
+    cluster = got["d1"]["cluster_id"]
+
+    # restart with a NEW file only: the state store must resurface d1's rep
+    batch2 = [("k1", "d3", ["a", "b", "c"]), ("k2", "e2", ["z"])]
+    spark.createDataFrame(batch2, schema).write.mode("append").parquet(src)
+    q = run_stateful_assign(spark.readStream.schema(schema).parquet(src), out, ck, threshold=0.5)
+    q.awaitTermination(120)
+    got = {r["doc_id"]: r for r in spark.read.parquet(out).collect()}
+    assert got["d3"]["matched"] and got["d3"]["cluster_id"] == cluster
+    assert got["e2"]["cluster_id"] == "e2" and not got["e2"]["matched"]
