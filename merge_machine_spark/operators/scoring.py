@@ -64,8 +64,26 @@ def tfidf_cosine_pairs(
     if n_docs is None:
         n_docs = corpus.select("id").distinct().count()
     dfreq = corpus.groupBy("token").agg(F.countDistinct("id").alias("df"))
-    wa = tfidf_weighted_tokens(tokens_tf_a, dfreq, n_docs)
-    wb = wa if self_join else tfidf_weighted_tokens(tokens_tf_b, dfreq, n_docs)
+
+    def weighted(t: DataFrame) -> DataFrame:
+        # UNNORMALIZED tf-idf weight; the L2 norm divides at pair level
+        # (dot/(norm_a*norm_b) == dot of normalized vectors), which turns a
+        # token-level normalize join (~|tokens| rows) into two doc-level
+        # joins against a |docs|-row norms table that AQE broadcasts.
+        return t.join(dfreq, "token").select(
+            "id", "token",
+            (F.col("tf").cast("double") * (F.log(F.lit(float(n_docs + 1)) / (F.col("df") + 1)) + 1.0)).alias("w"),
+        )
+
+    wa = weighted(tokens_tf_a)
+    if self_join:
+        # the self-join's two sides AND the norm aggregate share this table;
+        # without the persist Spark computes the explode+join subtree thrice
+        wa = wa.persist()
+    wb = wa if self_join else weighted(tokens_tf_b)
+    # norms over the FULL vocabulary (pre-cap), like the reference's vector
+    norms_a = wa.groupBy("id").agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("norm"))
+    norms_b = norms_a if self_join else wb.groupBy("id").agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("norm"))
     if max_df is not None:
         keep = dfreq.filter(F.col("df") <= max_df).select("token")
         wa = wa.join(keep, "token", "left_semi")
@@ -80,9 +98,15 @@ def tfidf_cosine_pairs(
     pairs = a.join(b, "token")
     if self_join:
         pairs = pairs.filter(F.col("a.id") < F.col("b.id"))
-    return (
+    dots = (
         pairs.groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .agg(F.sum(F.col("a.wa") * F.col("b.wb")).alias("tfidf_cosine"))
+        .agg(F.sum(F.col("a.wa") * F.col("b.wb")).alias("_dot"))
+    )
+    na = norms_a.select(F.col("id").alias("id_a"), F.col("norm").alias("_na"))
+    nb = norms_b.select(F.col("id").alias("id_b"), F.col("norm").alias("_nb"))
+    return (
+        dots.join(na, "id_a").join(nb, "id_b")
+        .select("id_a", "id_b", (F.col("_dot") / (F.col("_na") * F.col("_nb"))).alias("tfidf_cosine"))
     )
 
 
