@@ -55,6 +55,10 @@ def main() -> None:
         "events_hourly_rollup",
         "doc_fingerprint",
     ]
+    # untimed warm-up: the first query otherwise absorbs JVM/codegen/Arrow
+    # start-up (~4s) — r2's tokens_standard "regression" was exactly this
+    # (VERDICT r2 what's-wrong #3; scripts/run_scaling.py learned it first)
+    qs[headline[0]](spark, sf_dir).write.mode("overwrite").format("noop").save()
     for name in headline:
         t0 = time.time()
         qs[name](spark, sf_dir).write.mode("overwrite").format("noop").save()

@@ -189,7 +189,10 @@ def gazetteer_join(
             lambda i: F.concat_ws(shingle_sep, F.element_at(toks, i), F.element_at(toks, i + 1)),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    stream = F.concat(toks, bigrams)
+    # same length >= 4 candidate filter as gazetteer() so both F6/F7 paths
+    # see an identical stream (ADVICE r2: short aliases must not resolve via
+    # the join path only)
+    stream = F.filter(F.concat(toks, bigrams), lambda t: F.length(t) >= 4)
     other = list(df.columns)
     exploded = df.select(*other, F.posexplode_outer(stream).alias("_pos", "_tok"))
     joined = exploded.join(F.broadcast(dim), exploded["_tok"] == dim[alias_col], "left")

@@ -97,6 +97,10 @@ def media_dedup_pairs(
             ",", *[F.round(F.element_at("feature", i + 1), 2).cast("string") for i in range(4)]
         ).alias("bucket"),
     ).dropDuplicates(["media_ref"])
+    # pin the keyed/bucketed corpus: the size report, the anti-join and BOTH
+    # sides of the bucket self-join would otherwise each re-run the upstream
+    # mapInPandas feature extraction (ADVICE r2 — up to 4 evaluations)
+    keyed = keyed.localCheckpoint(eager=True)
     sizes = keyed.groupBy("bucket").agg(F.count(F.lit(1)).alias("bucket_n"))
     if report is not None:
         dropped = sizes.filter(F.col("bucket_n") > max_bucket).agg(

@@ -109,6 +109,9 @@ def _duckdb_jw_batch(a: pd.Series, b: pd.Series) -> pd.Series | None:
         return None
 
 
+_FALLBACK_WARNED = False  # once per worker process
+
+
 @F.pandas_udf(DoubleType())
 def jaro_winkler_udf(a: pd.Series, b: pd.Series) -> pd.Series:  # pragma: no cover - exercised via Spark
     a = a.fillna("")
@@ -116,6 +119,20 @@ def jaro_winkler_udf(a: pd.Series, b: pd.Series) -> pd.Series:  # pragma: no cov
     fast = _duckdb_jw_batch(a, b)
     if fast is not None:
         return fast
+    global _FALLBACK_WARNED
+    if not _FALLBACK_WARNED:
+        _FALLBACK_WARNED = True
+        import sys
+
+        # surfaces in the executor's stderr log — a silent ~60x per-worker
+        # slowdown on a mixed-env cluster is an operational trap (VERDICT r2 #6)
+        print(
+            "merge_machine_spark: duckdb unavailable in this worker; "
+            "jaro_winkler falling back to the ~60x slower pure-Python kernel "
+            "(byte-parity verified). Install duckdb on executors for the fast path.",
+            file=sys.stderr,
+            flush=True,
+        )
     return pd.Series([jaro_winkler_py(x, y) for x, y in zip(a, b)], dtype="float64")
 
 

@@ -90,7 +90,11 @@ def lsh_topk(
     c = corpus.select(
         F.col(id_c).alias("c_id"), F.col(vec_c).alias("cv"), F.posexplode(tables_c).alias("table", "bucket")
     )
-    sizes = c.groupBy("table", "bucket").agg(F.count(F.lit(1)).alias("bucket_n"))
+    # pin the (tiny: <= n_tables * 2^n_planes rows) size table so the report
+    # aggregation, the too_big anti-join AND the final candidate join don't
+    # each re-evaluate the hyperplane-bucketing subtree over the corpus
+    # (ADVICE r2: that subtree was being computed up to 3x)
+    sizes = c.groupBy("table", "bucket").agg(F.count(F.lit(1)).alias("bucket_n")).localCheckpoint(eager=True)
     if report is not None:
         dropped = sizes.filter(F.col("bucket_n") > max_bucket).agg(
             F.count(F.lit(1)).alias("n"), F.coalesce(F.sum("bucket_n"), F.lit(0)).alias("mass")

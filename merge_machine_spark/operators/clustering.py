@@ -27,27 +27,38 @@ def _canon_edges(edges: DataFrame, a: str, b: str) -> DataFrame:
 
 def _large_star(edges: DataFrame) -> DataFrame:
     """For each node n and its neighborhood Γ(n): connect every strictly
-    larger neighbor to min(Γ(n) ∪ {n})."""
+    larger neighbor to m = min(Γ(n) ∪ {n}).
+
+    Hub-safe formulation: m is a scalar ``groupBy(n).min(nbr)`` (map-side
+    partial agg, no arrays), joined back to the per-edge rows and emitted
+    row-wise. A 10^8-degree hub is 10^8 small rows spread across
+    partitions, never one multi-GB ``collect_set`` row."""
     both = edges.select(F.col("u").alias("n"), F.col("v").alias("nbr")).unionAll(
         edges.select(F.col("v").alias("n"), F.col("u").alias("nbr"))
     )
-    grouped = both.groupBy("n").agg(F.collect_set("nbr").alias("nbrs"))
-    m = F.array_min(F.concat(F.col("nbrs"), F.array(F.col("n"))))
-    out = grouped.select(
-        F.explode(F.filter(F.col("nbrs"), lambda x: x > F.col("n"))).alias("big"), m.alias("m")
+    mins = both.groupBy("n").agg(F.min("nbr").alias("mn")).select(
+        "n", F.least(F.col("mn"), F.col("n")).alias("m")
     )
-    return out.select(F.col("big").alias("u"), F.col("m").alias("v")).filter(F.col("u") != F.col("v")).distinct()
+    out = (
+        both.join(mins, "n")
+        .filter(F.col("nbr") > F.col("n"))
+        .select(F.col("nbr").alias("u"), F.col("m").alias("v"))
+    )
+    return out.filter(F.col("u") != F.col("v")).distinct()
 
 
 def _small_star(edges: DataFrame) -> DataFrame:
     """Orient edges big->small; for each node n connect all smaller
-    neighbors (and n) to the minimum of them."""
+    neighbors (and n) to the minimum of them.
+
+    Hub-safe: same min+join-back shape as ``_large_star`` — the per-group
+    minimum is a scalar aggregate, emission is per-edge row-wise, plus one
+    (n, m) row per group taken from the aggregate itself."""
     oriented = edges.select(F.greatest("u", "v").alias("n"), F.least("u", "v").alias("nbr"))
-    grouped = oriented.groupBy("n").agg(F.collect_set("nbr").alias("nbrs"))
-    m = F.array_min(F.col("nbrs"))
-    out = grouped.select(
-        F.explode(F.concat(F.col("nbrs"), F.array(F.col("n")))).alias("x"), m.alias("m")
-    )
+    mins = oriented.groupBy("n").agg(F.min("nbr").alias("m"))
+    per_edge = oriented.join(mins, "n").select(F.col("nbr").alias("x"), "m")
+    self_rows = mins.select(F.col("n").alias("x"), "m")
+    out = per_edge.unionAll(self_rows)
     return (
         out.filter(F.col("x") != F.col("m"))
         .select(F.least("x", "m").alias("u"), F.greatest("x", "m").alias("v"))

@@ -24,6 +24,7 @@ from dataclasses import dataclass
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..caching import track
 from ..functions import analyzers as A
 from ..functions import similarity as S
 
@@ -78,8 +79,9 @@ def tfidf_cosine_pairs(
     wa = weighted(tokens_tf_a)
     if self_join:
         # the self-join's two sides AND the norm aggregate share this table;
-        # without the persist Spark computes the explode+join subtree thrice
-        wa = wa.persist()
+        # without the persist Spark computes the explode+join subtree thrice.
+        # Tracked so the plan-level caller unpersists it after materialization.
+        wa = track(wa.persist())
     wb = wa if self_join else weighted(tokens_tf_b)
     # norms over the FULL vocabulary (pre-cap), like the reference's vector
     norms_a = wa.groupBy("id").agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("norm"))

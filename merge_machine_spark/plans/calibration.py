@@ -54,7 +54,7 @@ def compute_metrics(
     scores: np.ndarray,
     first_is_match: np.ndarray,
     has_results: np.ndarray | None = None,
-    t_p: float = 0.965,
+    t_p: float = 0.95,
     t_r: float = 0.3,
 ) -> tuple[float, float, float, float]:
     """Optimal threshold + precision/recall/custom-score for one matcher.
@@ -67,7 +67,11 @@ def compute_metrics(
     f_p(x) = (2·max(x−t_p,0) + min(t_p·(x/t_p)^4, t_p))^1.5 / 2 and
     f_r(x) = max(x−t_r,0) + min(t_r·(x/t_r)^4, t_r); threshold = score at the
     argmax index (last argmax wins), floored at MIN_OBSERVATIONS, with the
-    ~0 threshold when the best index is the full set."""
+    ~0 threshold when the best index is the full set.
+
+    ``t_p`` defaults to 0.95 — the reference's *effective* TARGET_PRECISION
+    (es_labeller.py:743, 1321-1327 pass 0.95 at every call site; the unused
+    compute_metrics signature default there is 0.965)."""
     scores = np.asarray(scores, dtype="float64")
     first_is_match = np.asarray(first_is_match, dtype="bool")
     if has_results is None:
@@ -212,7 +216,7 @@ def template_pair_scores(pdf: pd.DataFrame, template: Template, clause_col) -> p
 
 
 def calibrate_template(
-    pdf: pd.DataFrame, template: Template, clause_col, t_p: float = 0.965, t_r: float = 0.3
+    pdf: pd.DataFrame, template: Template, clause_col, t_p: float = 0.95, t_r: float = 0.3
 ) -> Template:
     """L5 applied to one template: per source row take the best-scoring
     candidate pair, derive (score, first_is_match, has_results), learn the
@@ -267,7 +271,7 @@ def calibrate_cascade(
     templates: list[Template],
     clause_col,
     max_queries: int = 3,
-    t_p: float = 0.965,
+    t_p: float = 0.95,
     t_r: float = 0.3,
 ) -> list[Template]:
     """Calibrate every template, apply the precision filter, sort by custom
@@ -285,7 +289,7 @@ def calibrate_cascade_greedy(
     templates: list[Template],
     clause_col,
     max_queries: int = 3,
-    t_p: float = 0.965,
+    t_p: float = 0.95,
     t_r: float = 0.3,
 ) -> list[Template]:
     """L10 greedy set-cover ordering — the reference's
@@ -440,7 +444,7 @@ def calibrate_cascade_adaptive(
     clause_col,
     max_queries: int = 3,
     max_levels: int = 2,
-    t_p: float = 0.965,
+    t_p: float = 0.95,
     t_r: float = 0.3,
     weights: tuple[float, ...] = (1.0,),
 ) -> list[Template]:
@@ -514,7 +518,7 @@ def learn_resolve_threshold(
     documents: DataFrame,
     labels: DataFrame,
     cfg=None,
-    t_p: float = 0.965,
+    t_p: float = 0.95,
     t_r: float = 0.3,
 ) -> tuple[float, dict]:
     """Close the L5 loop for the symmetric resolve pipeline: score the
@@ -591,7 +595,7 @@ def calibrate_link_tiers(
     ref: DataFrame,
     tiers: list[dict],
     labels: DataFrame,
-    t_p: float = 0.965,
+    t_p: float = 0.95,
     t_r: float = 0.3,
 ) -> list[dict]:
     """Learn each cascade tier's threshold from labelled (source, ref) pairs

@@ -67,7 +67,7 @@ class BatchLabeller:
         pdf: pd.DataFrame,
         templates: list[Template],
         clause_col,
-        t_p: float = 0.965,
+        t_p: float = 0.95,
         t_r: float = 0.3,
         seed: int = 0,
     ) -> None:

@@ -25,6 +25,7 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..caching import release_tracked, track
 from ..functions import analyzers as A
 from ..functions.textproj import project_documents
 from ..operators import cascade as C
@@ -93,7 +94,7 @@ def _pair_scores(proj: DataFrame, cfg: ResolveConfig, n_docs: int) -> DataFrame:
         analyzed_cols.append((F.substring(txt, 1, cfg.jw_prefix) if cfg.jw_prefix else txt).alias("_txt"))
     if "int_jaccard" in cfg.weights:
         analyzed_cols.append(F.array_distinct(A.analyze(cfg.block_proj, "integers")).alias("_toki"))
-    analyzed = proj.select(*analyzed_cols).persist()
+    analyzed = track(proj.select(*analyzed_cols).persist())
 
     tok = explode_tokens(analyzed, "doc_id", F.col("_rawtok"), with_tf=True)
     pairs = tfidf_cosine_pairs(tok, max_df=cfg.max_df, n_docs=n_docs)
@@ -181,6 +182,12 @@ def resolve(
     else:
         clusters = compute_clusters()
 
+    # Both branches have materialized the scores subtree by here (store:
+    # parquet write; no-store: connected_components' eager iteration pulls
+    # edges -> scores through the cache) — drop the persisted intermediates
+    # (analyzed payload, tf-idf self-join subtree) so repeated resolve()
+    # calls in one session don't accumulate executor storage (VERDICT r2 #4).
+    release_tracked()
     return {"projected": proj, "pair_scores": scores, "match_edges": edges, "cluster_assignments": clusters}
 
 
@@ -286,17 +293,21 @@ def link(
         pairs, cols_b = _tier_candidate_pairs(
             small_source, ref_f, t["proj_a"], t["proj_b"], t["channel"], t.get("max_df", 256), n_ref
         )
-        scored = fused_pair_features_best_field(
+        scored = track(fused_pair_features_best_field(
             pairs, small_source, ref_f, t["proj_a"], cols_b,
             channel=t["channel"], weights=t["weights"], jw_prefix=t.get("jw_prefix", 96),
             broadcast_sides=t.get("broadcast_sides", True),
-        ).cache()
+        ).cache())
         tier_best.append(C.top1_per_source(scored.select("id_a", "id_b", "score")))
         tier_means.append(float(scored.agg(F.avg("score")).collect()[0][0] or 1.0))
         thresholds.append(float(t["threshold"]))
 
     picked = C.cascade_pick(tier_best, thresholds, tier_means)
     picked = C.apply_overrides(picked, exact_pairs, non_matching_pairs)
+    # picked is one small row per deduped source doc: pin it (cuts lineage,
+    # materializes off the per-tier caches), then drop those caches.
+    picked = picked.localCheckpoint(eager=True)
+    release_tracked()
     return C.link_output(source, ref, picked, group_map)
 
 
@@ -334,7 +345,7 @@ def link_with_params(
                 small_source, ref_f, c.proj_a, c.proj_b, c.channel, max_df, n_ref
             )
             clause_tables.append((c, pairs.select("id_a", "id_b", F.col("tfidf_cosine").alias("clause_score"))))
-        scored = compose_matcher(clause_tables).cache()
+        scored = track(compose_matcher(clause_tables).cache())
         tier_best.append(C.top1_per_source(scored))
         tier_means.append(float(scored.agg(F.avg("score")).collect()[0][0] or 1.0))
         thresholds.append(float(t.thresh))
@@ -342,8 +353,14 @@ def link_with_params(
     picked = C.cascade_pick(tier_best, thresholds, tier_means)
     ex = cfg.get("exact_pairs") or None
     nm = cfg.get("non_matching_pairs") or None
-    mk_pairs = lambda rows: spark.createDataFrame([(a, b) for a, b in rows], "id_a string, id_b string")
+    # reference-style params blobs carry int source ids (learned_settings.json
+    # exact_pairs like [[956, "123"]]) — coerce both sides to str
+    mk_pairs = lambda rows: spark.createDataFrame(
+        [(str(a), str(b)) for a, b in rows], "id_a string, id_b string"
+    )
     picked = C.apply_overrides(
         picked, mk_pairs(ex) if ex else None, mk_pairs(nm) if nm else None
     )
+    picked = picked.localCheckpoint(eager=True)
+    release_tracked()
     return C.link_output(source, ref, picked, group_map)

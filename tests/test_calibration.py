@@ -43,7 +43,7 @@ def test_compute_metrics_threshold_maximizes_score():
         m = labels[order]
         prec = m.cumsum() / np.minimum(np.arange(n) + 1, n)
         rec = m.cumsum() / n
-        f_p = lambda x: (2 * max(x - 0.965, 0) + min(0.965 * (x / 0.965) ** 4, 0.965)) ** 1.5 / 2
+        f_p = lambda x: (2 * max(x - 0.95, 0) + min(0.95 * (x / 0.95) ** 4, 0.95)) ** 1.5 / 2
         f_r = lambda x: max(x - 0.3, 0) + min(0.3 * (x / 0.3) ** 4, 0.3)
         rolling = np.array([f_p(a) * f_r(b) for a, b in zip(prec, rec)])
         assert s == pytest.approx(rolling[MIN_OBSERVATIONS:].max() if rolling.argmax() < MIN_OBSERVATIONS else rolling.max())

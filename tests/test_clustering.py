@@ -87,6 +87,21 @@ def test_singletons_rejoin(spark):
     assert got == {"a": "a", "b": "a", "c": "c", "z": "z"}
 
 
+def test_cc_hub_star_skew(spark):
+    """One hub with 1e5 neighbors (VERDICT r2 #2): the min+join-back
+    formulation must handle a degree-10^5 node without materializing its
+    neighborhood as a single array row. Built with spark.range so the edge
+    list never lives on the driver."""
+    n = 100_000
+    edges = spark.range(n).select(
+        F.lit("zhub").alias("id_a"),
+        F.format_string("a%06d", F.col("id")).alias("id_b"),
+    )
+    got = connected_components(edges)
+    assert got.filter(F.col("cluster_id") != "a000000").count() == 0
+    assert got.count() == n + 1
+
+
 def test_pairwise_f1_perfect_and_split(spark):
     truth = spark.createDataFrame(
         [("a", "e1"), ("b", "e1"), ("c", "e1"), ("x", "e2")], ["doc_id", "entity_id"]
