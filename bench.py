@@ -71,11 +71,11 @@ def main() -> None:
     n_docs = docs.count()  # materialize generation outside the timed window
 
     cfg = ResolveConfig(threshold=0.45)
-    # best-of-2: this shared host shows 20%+ same-code wall-clock spread
+    # best-of-3: this shared host shows 2x same-code wall-clock spread
     # (cross-run steal); the min is the reproducible number.
     er_trials = []
     res = None
-    for _ in range(2):
+    for _ in range(3):
         spark.catalog.clearCache()
         docs.persist()
         docs.count()

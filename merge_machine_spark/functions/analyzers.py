@@ -22,7 +22,9 @@ Channels (SURVEY.md §2.8):
   F4 n_grams           char 3-grams over letter/digit runs
   F5 integers          integer extraction + leading-zero trim + shingles<=5
   F6 city / F7 country gazetteer keep+translate (broadcast dim)
-  F8 standard/english  plain unicode tokenize + lowercase
+  F8 standard          plain unicode tokenize + lowercase
+     english           + possessive strip, English stopwords, Porter stem
+                       (pandas UDF over english.py, like the French channels)
   F10 keyword          raw string equality key
   +  phonetic          soundex per token (north-rule addition)
 """
@@ -89,6 +91,20 @@ def _french_udf(s: pd.Series) -> pd.Series:  # pragma: no cover - via Spark
 @F.pandas_udf(ArrayType(StringType()))
 def _french_estab_udf(s: pd.Series) -> pd.Series:  # pragma: no cover - via Spark
     return s.map(FR.french_estab_tokens)
+
+
+@F.pandas_udf(ArrayType(StringType()))
+def _english_udf(s: pd.Series) -> pd.Series:  # pragma: no cover - via Spark
+    from .english import english_tokens
+
+    return s.map(english_tokens)
+
+
+def english(col: Column | str) -> Column:
+    """F8 ``english``: ES stock english analyzer semantics — standard
+    tokenize, possessive strip, lowercase, English stopwords, Porter stem
+    (reference applies it on filter fields, helpers.py:106)."""
+    return _english_udf(_c(col))
 
 
 def french(col: Column | str) -> Column:
@@ -227,7 +243,7 @@ CHANNELS = {
     "special_keyword": special_keyword,
     "keyword": keyword,
     "standard": standard,
-    "english": standard,  # stock english ≈ standard for our purposes (filter fields only)
+    "english": english,  # F8: real ES-english semantics (stop + Porter stem)
     "french": french,
     "french_estab": french_estab,
     "n_grams": n_grams,

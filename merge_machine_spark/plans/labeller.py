@@ -51,6 +51,7 @@ from .calibration import Template, calibrate_template, template_pair_scores
 MIN_ES_SCORE_TO_THRESH = 2       # es_labeller.py:1186
 MAX_NUM_PROPOSALS_PER_QUERY = 4  # es_labeller.py:1187
 NO_QUERY_THRESH = 1000.0         # uncalibrated-template sentinel
+STATS_GC_IDLE_STEPS = 5          # StatsLabeller._cleanup(5), es_labeller.py:2663
 
 
 class BatchLabeller:
@@ -85,6 +86,13 @@ class BatchLabeller:
         self._front_queue: list[tuple[str, str, float]] = []  # custom-search proposals
         self._current: tuple[str, str, float] | None = None
         self.status = "RUNNING"
+
+        # A9 per-step stats history (StatsLabeller, es_labeller.py:2629-2707):
+        # one snapshot of every live template's P/R/score/position per
+        # metrics step, GC'd after STATS_GC_IDLE_STEPS idle steps
+        self.query_stats: dict[tuple, dict[int, dict]] = {}  # key -> {step: summary}
+        self.query_order: list[list[tuple]] = []              # per step: keys in rank order
+        self.current_step = 0
 
     # -- state ---------------------------------------------------------------
     def current_source(self) -> str | None:
@@ -135,6 +143,32 @@ class BatchLabeller:
         self.templates.sort(key=lambda t: -t.score)
         if not self.templates:
             self.status = "NO_QUERIES"
+        self._update_stats()
+
+    # -- A9 per-step stats history (StatsLabeller port) -------------------------
+    def _update_stats(self) -> None:
+        """Record (step, template key) -> {precision, recall, score, position}
+        for every live template, then GC templates absent from the last
+        STATS_GC_IDLE_STEPS steps (update_stats + _cleanup,
+        es_labeller.py:2650-2675)."""
+        for pos, t in enumerate(self.templates):
+            self.query_stats.setdefault(t.key(), {})[self.current_step] = {
+                "precision": t.precision,
+                "recall": t.recall,
+                "score": t.score,
+                "position": pos,
+            }
+        self.query_order.append([t.key() for t in self.templates])
+        self.current_step += 1
+        self._stats_cleanup(STATS_GC_IDLE_STEPS)
+
+    def _stats_cleanup(self, num_empty: int) -> None:
+        if self.current_step >= num_empty:
+            recent = self.query_order[-num_empty:]
+            for qid in list(self.query_stats):
+                if all(qid not in step for step in recent):
+                    del self.query_stats[qid]
+        self.query_order = [[q for q in step if q in self.query_stats] for step in self.query_order]
 
     # -- L9 proposal policy ----------------------------------------------------
     def _proposals(self, source: str):

@@ -29,23 +29,36 @@ from merge_machine_spark.sources.synth import generate_documents
 
 cores = int(os.environ["CORES"])
 n_entities = int(os.environ["N_ENTITIES"])
+docs_path = os.environ.get("DOCS_PATH", "")
 # 4 partitions per core: at 1 partition/core the wave has no slack and one
 # straggler task idles the rest of the pool (measured ~35% utilization on
 # the analyzer stage); finer tasks load-balance the same way a real
 # multi-executor cluster would.
 spark = get_spark(f"scaling_{cores}", cores=cores, shuffle_partitions=cores * 4)
-docs = (
-    generate_documents(spark, n_entities, seed=42)
-    .select("doc_id", "spans").repartition(cores * 4).persist()
-)
+if docs_path:
+    # input pre-generated ONCE by the parent (deterministic seed=42 synth,
+    # identical bytes for every parallelism level); regenerating per
+    # subprocess would add many minutes of untimed Python synthesis at the
+    # low-core level for nothing
+    docs = spark.read.parquet(docs_path).select("doc_id", "spans").repartition(cores * 4).persist()
+else:
+    docs = (
+        generate_documents(spark, n_entities, seed=42)
+        .select("doc_id", "spans").repartition(cores * 4).persist()
+    )
 n_docs = docs.count()
 
 # Warm-up pass (uncounted): a fresh local JVM pays ~20-30s of JIT/codegen/
 # python-worker spin-up that a long-lived executor never re-pays; measuring
-# cold would charge that fixed cost against the scaling ratio. Caches are
-# cleared so the measured pass re-reads and re-computes everything.
-_warm = resolve(spark, docs, ResolveConfig(threshold=0.45))
+# cold would charge that fixed cost against the scaling ratio. Runs on a
+# ~60k-doc slice with broadcast_sides=False so it compiles the SAME
+# co-partition plan shape the full-size measured pass uses, at a fraction
+# of the wall. Caches are cleared so the measured pass recomputes everything.
+warm_docs = docs.limit(60_000).persist()
+warm_docs.count()
+_warm = resolve(spark, warm_docs, ResolveConfig(threshold=0.45, broadcast_sides=False))
 _warm["pair_scores"].count()
+warm_docs.unpersist()
 spark.catalog.clearCache()
 docs.persist()
 docs.count()
@@ -68,10 +81,39 @@ print("RESULT " + json.dumps({
 """
 
 
-def run(cores: int, n_entities: int) -> dict:
-    env = dict(os.environ, REPO=REPO, CORES=str(cores), N_ENTITIES=str(n_entities), PYTHONPATH=REPO)
+GENERATE = r"""
+import os, sys
+sys.path.insert(0, os.environ["REPO"])
+from merge_machine_spark.sources.session import get_spark
+from merge_machine_spark.sources.synth import generate_documents
+
+spark = get_spark("scaling_gen", cores=16, shuffle_partitions=64)
+docs = generate_documents(spark, int(os.environ["N_ENTITIES"]), seed=42, partitions=64)
+docs.select("doc_id", "spans").write.mode("overwrite").parquet(os.environ["DOCS_PATH"])
+spark.stop()
+"""
+
+
+def run(cores: int, n_entities: int, docs_path: str = "") -> dict:
+    env = dict(
+        os.environ, REPO=REPO, CORES=str(cores), N_ENTITIES=str(n_entities),
+        PYTHONPATH=REPO, DOCS_PATH=docs_path,
+        # Honest N-core emulation. Without this the "N-core" JVM sizes its
+        # GC/JIT/netty pools for all 32 HOST cpus — the small configuration
+        # silently gets 32-thread JVM services (free parallelism a real
+        # 2-core cgroup-limited executor never has), which deflates the
+        # measured N->4N ratio. ActiveProcessorCount is exactly what a
+        # container runtime would enforce.
+        # +UseG1GC pins the SAME collector at every level (JVM ergonomics
+        # would pick SerialGC at ActiveProcessorCount=1, crippling the small
+        # leg and flattering the ratio — the comparison must be symmetric).
+        JAVA_TOOL_OPTIONS=f"-XX:ActiveProcessorCount={cores} -XX:+UseG1GC",
+        # BLAS/OpenMP pools inside pandas UDF workers must not steal host
+        # cores either (DuckDB is already pinned to threads=1 in-code).
+        OMP_NUM_THREADS="1", OPENBLAS_NUM_THREADS="1", MKL_NUM_THREADS="1",
+    )
     out = subprocess.run(
-        [sys.executable, "-c", WORKER], env=env, capture_output=True, text=True, timeout=3000
+        [sys.executable, "-c", WORKER], env=env, capture_output=True, text=True, timeout=9000
     )
     for line in out.stdout.splitlines():
         if line.startswith("RESULT "):
@@ -84,10 +126,21 @@ def main() -> None:
     n = int(sys.argv[2]) if len(sys.argv) > 2 else 2
     trials = int(sys.argv[3]) if len(sys.argv) > 3 else 2
     n4 = n * 4
+    # pre-generate the input once (16 cores: generation is untimed setup and
+    # the host saturates beyond ~16 threads) — every run reads the same bytes
+    docs_path = os.path.join("/tmp", f"scaling_docs_{n_entities}.parquet")
+    if not os.path.isdir(docs_path):
+        gen = subprocess.run(
+            [sys.executable, "-c", GENERATE],
+            env=dict(os.environ, REPO=REPO, N_ENTITIES=str(n_entities), DOCS_PATH=docs_path, PYTHONPATH=REPO),
+            capture_output=True, text=True, timeout=3600,
+        )
+        if not os.path.isdir(docs_path):
+            raise RuntimeError(f"generation failed:\n{gen.stdout[-2000:]}\n{gen.stderr[-2000:]}")
     runs: dict[int, list[dict]] = {n: [], n4: []}
     for _ in range(trials):
-        runs[n].append(run(n, n_entities))
-        runs[n4].append(run(n4, n_entities))
+        runs[n].append(run(n, n_entities, docs_path))
+        runs[n4].append(run(n4, n_entities, docs_path))
     best_n = max(runs[n], key=lambda r: r["pairs_per_sec"])
     best_4n = max(runs[n4], key=lambda r: r["pairs_per_sec"])
     eff = (best_4n["pairs_per_sec"] / best_n["pairs_per_sec"]) / 4

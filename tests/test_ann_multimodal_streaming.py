@@ -171,3 +171,40 @@ def test_stateful_cluster_assign_across_restarts(spark, tmp_path):
     got = {r["doc_id"]: r for r in spark.read.parquet(out).collect()}
     assert got["d3"]["matched"] and got["d3"]["cluster_id"] == cluster
     assert got["e2"]["cluster_id"] == "e2" and not got["e2"]["matched"]
+
+
+def test_stateful_idle_key_ttl_expires(spark, tmp_path):
+    """idle_ttl_ms (VERDICT r2 #6): a key idle past the TTL is swept from the
+    state store on a later batch, so a doc arriving afterwards re-registers
+    under a NEW cluster id (safe: the batch re-resolve reconciles). Run 2
+    carries data only for another key — that's what triggers the timeout
+    sweep for the idle key (Spark fires hasTimedOut only for groups with no
+    incoming data)."""
+    import time
+
+    from merge_machine_spark.streaming.stateful import run_stateful_assign
+
+    src, out, ck = str(tmp_path / "in"), str(tmp_path / "out"), str(tmp_path / "ck")
+    schema = "block_key string, doc_id string, tokens array<string>"
+    ttl = 500
+
+    spark.createDataFrame([("k1", "d1", ["a", "b", "c"])], schema).write.mode("append").parquet(src)
+    q = run_stateful_assign(spark.readStream.schema(schema).parquet(src), out, ck, idle_ttl_ms=ttl)
+    q.awaitTermination(120)
+
+    time.sleep(2.0)  # let k1's TTL lapse in processing time
+
+    # other-key traffic triggers the sweep; k1 has no data in this batch
+    spark.createDataFrame([("k2", "e1", ["x"])], schema).write.mode("append").parquet(src)
+    q = run_stateful_assign(spark.readStream.schema(schema).parquet(src), out, ck, idle_ttl_ms=ttl)
+    q.awaitTermination(120)
+
+    # d2 has the same tokens as d1: with live state it would match d1's rep;
+    # after expiry it must re-register itself
+    spark.createDataFrame([("k1", "d2", ["a", "b", "c"])], schema).write.mode("append").parquet(src)
+    q = run_stateful_assign(spark.readStream.schema(schema).parquet(src), out, ck, idle_ttl_ms=ttl)
+    q.awaitTermination(120)
+
+    got = {r["doc_id"]: r for r in spark.read.parquet(out).collect()}
+    assert got["d1"]["cluster_id"] == "d1"
+    assert got["d2"]["cluster_id"] == "d2" and not got["d2"]["matched"]

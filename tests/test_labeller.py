@@ -106,3 +106,36 @@ def test_custom_search_jumps_queue(spark):
     assert (a, b) == ("s0", "rX") and s > 0  # jumped ahead of template proposals
     lab.update("y")
     assert lab._closed["s0"] == "match"
+
+
+def test_stats_history_per_step_and_gc():
+    """A9 (StatsLabeller, es_labeller.py:2629-2707): every metrics step
+    snapshots P/R/score/position for each live template; a template absent
+    from the last 5 steps is GC'd from the stats AND stripped from the
+    per-step order lists. Scripted 15-label session."""
+    rows = []
+    for i in range(15):
+        rows.append({"id_a": f"s{i:02d}", "id_b": f"r{i:02d}", "fax": 0.9, "fby": 0.9})
+    lab = BatchLabeller(pd.DataFrame(rows), _templates(), COL)
+    akey = lab.templates[0].key()
+    bkey = lab.templates[1].key()
+
+    for step in range(15):
+        assert lab.propose() is not None
+        lab.update("y")
+        if step == 5:
+            # expansion/filtering analog: the 'b' template leaves the pool
+            lab.templates = [t for t in lab.templates if t.key() != bkey]
+
+    assert lab.current_step == 15
+    assert len(lab.query_order) == 15
+    # surviving template: one summary per step, with the full stat shape
+    assert sorted(lab.query_stats[akey]) == list(range(15))
+    assert set(lab.query_stats[akey][14]) == {"precision", "recall", "score", "position"}
+    assert lab.query_stats[akey][14]["position"] == 0
+    # dropped template: present for >5 steps then GC'd after 5 idle steps
+    assert bkey not in lab.query_stats
+    assert all(bkey not in step for step in lab.query_order)
+    # history rows for the dropped template were removed everywhere, but the
+    # step count and order-list length are untouched (reference semantics)
+    assert lab.query_stats[akey][0]["precision"] >= 0.0
