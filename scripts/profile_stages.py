@@ -1,4 +1,7 @@
-"""Per-stage scaling profile: which stage fails to scale 8 -> 32 cores?"""
+"""Per-stage scaling profile: which stage fails to scale N -> 4N cores?
+
+Usage: python scripts/profile_stages.py [n_entities] [N] — runs N and 4N
+interleaved twice with the same honest-emulation env as run_scaling.py."""
 import json
 import os
 import subprocess
@@ -64,9 +67,12 @@ print("RESULT " + json.dumps({"cores": cores, "n_docs": n, "n_tok": ntok, "n_pai
 spark.stop()
 """
 
-for cores in (8, 32, 8, 32):
-    env = dict(os.environ, REPO=REPO, CORES=str(cores), N_ENTITIES=sys.argv[1] if len(sys.argv) > 1 else "20000", PYTHONPATH=REPO)
-    out = subprocess.run([sys.executable, "-c", WORKER], env=env, capture_output=True, text=True, timeout=1200)
+N = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+for cores in (N, N * 4, N, N * 4):
+    env = dict(os.environ, REPO=REPO, CORES=str(cores), N_ENTITIES=sys.argv[1] if len(sys.argv) > 1 else "20000", PYTHONPATH=REPO,
+               JAVA_TOOL_OPTIONS=f"-XX:ActiveProcessorCount={cores} -XX:+UseG1GC",
+               OMP_NUM_THREADS="1", OPENBLAS_NUM_THREADS="1", MKL_NUM_THREADS="1")
+    out = subprocess.run([sys.executable, "-c", WORKER], env=env, capture_output=True, text=True, timeout=3000)
     for line in out.stdout.splitlines():
         if line.startswith("RESULT "):
             print(line)
