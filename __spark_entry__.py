@@ -737,7 +737,9 @@ SELECT user_id, vote, n_votes FROM (
 # --- rows-only checks (no SQL-expressible oracle; pytest covers semantics) ----
 def q_minhash_lsh_pairs(spark, sf_dir):
     """MinHash/LSH candidate generation (xxhash64 family — not expressible in
-    DuckDB; property-tested in tests/test_blocking.py)."""
+    DuckDB; property-tested in tests/test_blocking.py; GOLDEN-ORACLED since
+    r4: tests/golden/minhash_lsh_pairs_sf0001.parquet pins the exact sf0.001
+    candidate set, regenerable byte-stably via scripts/gen_golden_lsh.py)."""
     from merge_machine_spark.functions import analyzers as A
     from merge_machine_spark.operators.blocking import lsh_candidate_pairs
 
@@ -819,7 +821,9 @@ SELECT doc_id, simhash16, count(*) OVER (PARTITION BY simhash16) AS bucket_n FRO
 def q_ann_lsh_top3(spark, sf_dir):
     """Bucketed ANN (random-hyperplane LSH + multiprobe) over embeddings —
     the scale path next to the brute-force baseline (rows-only; recall@k is
-    pytest-verified in tests/test_ann_multimodal_streaming.py)."""
+    pytest-verified in tests/test_ann_multimodal_streaming.py; GOLDEN-ORACLED
+    since r4: tests/golden/ann_lsh_top3_sf0001.parquet pins the exact sf0.001
+    top-3 table, regenerable byte-stably via scripts/gen_golden_lsh.py)."""
     from pyspark.sql import functions as F
 
     from merge_machine_spark.operators.ann import lsh_topk

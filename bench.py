@@ -71,11 +71,16 @@ def main() -> None:
     n_docs = docs.count()  # materialize generation outside the timed window
 
     cfg = ResolveConfig(threshold=0.45)
-    # best-of-3: this shared host shows 2x same-code wall-clock spread
-    # (cross-run steal); the min is the reproducible number.
-    er_trials = []
+    # best-of-5: this shared host shows up to 2.4x same-code wall-clock
+    # spread (cross-run steal, r3 verdict adjudication); the min is the
+    # reproducible number. 5 trials instead of 3 because r3's trial vector
+    # was still monotonically decreasing at 3 (best-of hadn't escaped the
+    # steal window). Early-stop once two trials land within 10% of the
+    # running min — at that point the min is corroborated and further
+    # trials only burn wall-clock.
+    er_trials: list[float] = []
     res = None
-    for _ in range(3):
+    for _ in range(5):
         spark.catalog.clearCache()
         docs.persist()
         docs.count()
@@ -84,7 +89,13 @@ def main() -> None:
         scores = res["pair_scores"].persist()
         pairs_scored = scores.count()
         er_trials.append(round(time.time() - t0, 3))
+        lo = min(er_trials)
+        if sum(1 for t in er_trials if t <= lo * 1.10) >= 2:
+            break
     t_score = min(er_trials)
+    # steal detection note: trials >1.5x the min are stolen windows, not
+    # engine behavior (one-sided noise — steal only ever adds time)
+    er_steal_suspect = [t > 1.5 * t_score for t in er_trials]
     t1 = time.time()
     n_clusters = res["cluster_assignments"].groupBy("cluster_id").count().count()
     t_cluster = time.time() - t1
@@ -102,6 +113,7 @@ def main() -> None:
         "er_docs": n_docs,
         "er_clusters": n_clusters,
         "er_trials": er_trials,
+        "er_steal_suspect": er_steal_suspect,
         "pairs_scored": pairs_scored,
         "pairs_scored_per_sec": round(pairs_scored / max(t_score, 1e-9), 1),
     }

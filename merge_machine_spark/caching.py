@@ -18,28 +18,51 @@ on GC.
 
 from __future__ import annotations
 
+import threading
+
 from pyspark.sql import DataFrame
 
-_TRACKED: list[DataFrame] = []
+# Per-THREAD registry: concurrent resolve()/link() calls from multiple driver
+# threads (the multi-link service scenario) each see their own list, so one
+# call's release_tracked() can never unpersist another call's in-flight
+# intermediates mid-computation (ADVICE r3). Entry points additionally wrap
+# their bodies in try/finally so an exception between track() and
+# release_tracked() cannot leave entries to be drained by a later call.
+_LOCAL = threading.local()
+
+
+def _tracked() -> list[DataFrame]:
+    lst = getattr(_LOCAL, "tracked", None)
+    if lst is None:
+        lst = _LOCAL.tracked = []
+    return lst
 
 
 def track(df: DataFrame) -> DataFrame:
     """Register a persisted intermediate for later release; returns df."""
-    _TRACKED.append(df)
+    _tracked().append(df)
     return df
 
 
 def release_tracked() -> int:
-    """Unpersist every tracked intermediate (blocking=False). Returns count."""
+    """Unpersist every intermediate tracked BY THIS THREAD (blocking=False).
+    Returns count."""
+    lst = _tracked()
     n = 0
-    while _TRACKED:
-        df = _TRACKED.pop()
+    while lst:
+        df = lst.pop()
         try:
             df.unpersist()
             n += 1
         except Exception:  # pragma: no cover - session already stopped
             pass
     return n
+
+
+def tracked_count() -> int:
+    """Number of not-yet-released intermediates tracked by this thread
+    (test/diagnostic hook)."""
+    return len(_tracked())
 
 
 def release(*results) -> None:

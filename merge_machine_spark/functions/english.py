@@ -13,7 +13,12 @@ Same one-canonical-implementation pattern as ``french.py``: shared by the
 Spark pandas UDF (Arrow data plane), driver-side filter-literal analysis, and
 pytest golden-token tests. The stemmer is the classic public-domain Porter
 algorithm (Porter, "An algorithm for suffix stripping", 1980), implemented
-from the published definition.
+from the published definition PLUS Martin Porter's two official step-2
+departures (bli->ble, logi->log) — the revised variant that Lucene's
+PorterStemFilter (and therefore ES ``english``) actually runs, so tokens
+match real ES output on words like 'archaeology' -> 'archaeolog' (ADVICE
+r3; note the rules keep Lucene's (m>0)-on-stem guard, so e.g. 'geology'
+-> 'geologi' on BOTH sides — m('geo') = 0).
 """
 
 from __future__ import annotations
@@ -72,12 +77,17 @@ def _cvc(w: str) -> bool:
     )
 
 
+# Step 2 incorporates Martin Porter's two official departures from the 1980
+# paper — the variant Lucene/ES PorterStemFilter actually runs (ADVICE r3):
+#   (m>0) abli -> able   is replaced by   (m>0) bli -> ble
+#   extra rule           (m>0) logi -> log   ('geology' -> 'geolog', as ES)
 _STEP2 = (
     ("ational", "ate"), ("tional", "tion"), ("enci", "ence"), ("anci", "ance"),
-    ("izer", "ize"), ("abli", "able"), ("alli", "al"), ("entli", "ent"),
-    ("eli", "e"), ("ousli", "ous"), ("ization", "ize"), ("ation", "ate"),
-    ("ator", "ate"), ("alism", "al"), ("iveness", "ive"), ("fulness", "ful"),
-    ("ousness", "ous"), ("aliti", "al"), ("iviti", "ive"), ("biliti", "ble"),
+    ("izer", "ize"), ("logi", "log"), ("bli", "ble"), ("alli", "al"),
+    ("entli", "ent"), ("eli", "e"), ("ousli", "ous"), ("ization", "ize"),
+    ("ation", "ate"), ("ator", "ate"), ("alism", "al"), ("iveness", "ive"),
+    ("fulness", "ful"), ("ousness", "ous"), ("aliti", "al"), ("iviti", "ive"),
+    ("biliti", "ble"),
 )
 _STEP3 = (
     ("icate", "ic"), ("ative", ""), ("alize", "al"), ("iciti", "ic"),

@@ -2,10 +2,19 @@
 
 Task mandate: treat image/audio/video as opaque ``binary``/ref columns with
 typed metadata; make the Spark-side plumbing (schema, partitioning, Arrow
-batch shape, UDF signatures) real and tested, while the actual codec work is
-STUBBED — this container has no image/audio libraries. Every stub is
-deterministic so pipelines and tests are reproducible; swap `_decode_stub`
-for a real decoder (PIL/torchaudio/...) on a cluster with the libs baked in.
+batch shape, UDF signatures) real and tested. Decoding is two-path:
+
+- **real path** (r3 verdict missing #4): when a ``media_store`` of actual
+  image bytes is supplied AND pillow imports in the worker,
+  ``PIL.Image.open`` decodes the payload — true width/height plus a
+  16-dim L2-normalized grayscale-thumbnail feature (4x4 ``resize``).
+- **stub fallback**: no payload, or no pillow in the worker (this container
+  ships none) — a deterministic pseudo-feature from the ref hash, same
+  schema and batch shape, so pipelines and tests are reproducible
+  everywhere. Falling back WITH bytes present warns once per worker
+  process (mirrors the similarity.py duckdb-JW fallback pattern): silently
+  swapping real features for hash features on a mixed-env cluster would
+  corrupt dedup results.
 
 Pattern: ``mapInPandas`` over batches so each task holds only one Arrow
 batch of media bytes in memory (never collect; never per-row Python UDFs).
@@ -36,6 +45,36 @@ MEDIA_FEATURE_SCHEMA = T.StructType(
 
 FEATURE_DIM = 16
 
+_PIL_FALLBACK_WARNED = False  # once per worker process
+
+
+def _try_import_pil():
+    """Import hook for the optional real decoder (kept separate so tests can
+    monkeypatch it to exercise the fallback dispatch without uninstalling
+    pillow, and vice versa)."""
+    try:
+        from PIL import Image  # noqa: PLC0415
+
+        return Image
+    except Exception:
+        return None
+
+
+def _decode_image_bytes(payload: bytes, Image) -> tuple[np.ndarray, int, int]:
+    """Real image decode: true dimensions + a 16-dim L2-normalized 4x4
+    grayscale thumbnail feature. Deterministic for identical bytes, so
+    exact-duplicate images bucket together in media_dedup_pairs."""
+    from io import BytesIO
+
+    img = Image.open(BytesIO(payload))
+    width, height = img.size
+    small = img.convert("L").resize((4, 4))
+    vec = np.asarray(small, dtype=np.float32).reshape(-1)
+    norm = float(np.linalg.norm(vec))
+    if norm > 0:
+        vec = vec / norm
+    return vec, int(width), int(height)
+
 
 def _decode_stub(media_ref: str) -> tuple[np.ndarray, int, int]:
     """STUB decoder. Real implementation would fetch bytes for ``media_ref``
@@ -53,29 +92,77 @@ def _decode_stub(media_ref: str) -> tuple[np.ndarray, int, int]:
     return vec, width, height
 
 
-def extract_media_features(docs: DataFrame, batch_size_hint: int | None = None) -> DataFrame:
+def extract_media_features(
+    docs: DataFrame,
+    media_store: DataFrame | None = None,
+    batch_size_hint: int | None = None,
+) -> DataFrame:
     """documents(doc_id, spans) -> one row per media span with a feature
     vector and metadata. Media spans explode JVM-side (so text bytes are
-    pruned before Python); only (doc_id, media_ref) crosses into Arrow."""
+    pruned before Python); only (doc_id, media_ref[, media_bytes]) crosses
+    into Arrow.
+
+    ``media_store``: optional (media_ref, media_bytes: binary) table of the
+    actual payloads. When supplied, refs with bytes take the REAL decode
+    path (pillow) in workers where pillow imports; refs without bytes — and
+    every ref when pillow is missing — take the deterministic stub, with a
+    one-time per-worker stderr warning in the bytes-but-no-pillow case. The
+    join is a plain equi-join on media_ref: Catalyst broadcasts a small
+    store, shuffle-joins a large one; payload bytes flow straight from the
+    store scan into the Arrow batch (never through the driver)."""
     media = docs.select(
         "doc_id",
         F.explode(F.filter("spans", lambda s: s["kind"] == F.lit("media"))).alias("s"),
     ).select("doc_id", F.col("s.media_ref").alias("media_ref"))
+    has_bytes = media_store is not None
+    if has_bytes:
+        media = media.join(
+            media_store.select("media_ref", "media_bytes").dropDuplicates(["media_ref"]),
+            "media_ref",
+            "left",
+        )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        Image = _try_import_pil()
         for pdf in batches:
             out = []
-            for doc_id, ref in zip(pdf["doc_id"], pdf["media_ref"]):
+            payloads = pdf["media_bytes"] if has_bytes else [None] * len(pdf)
+            for doc_id, ref, payload in zip(pdf["doc_id"], pdf["media_ref"], payloads):
                 try:
-                    vec, w, h = _decode_stub(ref)
+                    if payload is not None and Image is not None:
+                        vec, w, h = _decode_image_bytes(bytes(payload), Image)
+                    else:
+                        if payload is not None and Image is None:
+                            _warn_pil_fallback()
+                        vec, w, h = _decode_stub(ref)
                     out.append((doc_id, ref, "image", vec.tolist(), w, h, True))
                 except NotImplementedError:
+                    out.append((doc_id, ref, None, None, None, None, False))
+                except Exception:
+                    # undecodable payload (truncated/corrupt bytes): honest
+                    # decode_ok=False row, never a task failure at 100 TB
                     out.append((doc_id, ref, None, None, None, None, False))
             yield pd.DataFrame(
                 out, columns=["doc_id", "media_ref", "media_kind", "feature", "width", "height", "decode_ok"]
             )
 
     return media.mapInPandas(run, schema=MEDIA_FEATURE_SCHEMA)
+
+
+def _warn_pil_fallback() -> None:
+    global _PIL_FALLBACK_WARNED
+    if _PIL_FALLBACK_WARNED:
+        return
+    _PIL_FALLBACK_WARNED = True
+    import sys
+
+    print(
+        "merge_machine_spark: pillow unavailable in this worker; media bytes "
+        "present but falling back to the deterministic stub features. "
+        "Install pillow on executors for real image decode.",
+        file=sys.stderr,
+        flush=True,
+    )
 
 
 def media_dedup_pairs(
@@ -99,7 +186,15 @@ def media_dedup_pairs(
     ).dropDuplicates(["media_ref"])
     # pin the keyed/bucketed corpus: the size report, the anti-join and BOTH
     # sides of the bucket self-join would otherwise each re-run the upstream
-    # mapInPandas feature extraction (ADVICE r2 — up to 4 evaluations)
+    # mapInPandas feature extraction (ADVICE r2 — up to 4 evaluations).
+    # localCheckpoint TRADE-OFF (ADVICE r3): lineage is truncated, so on a
+    # real cluster an executor loss during the self-join fails the JOB
+    # (which then re-runs whole) instead of recomputing the lost partitions;
+    # in exchange the pinned blocks need no re-derivable lineage and are
+    # reclaimed by ContextCleaner on GC. A persist()+track() alternative
+    # keeps lineage but requires a plan-level owner to call
+    # release_tracked(); this operator has no enclosing entry point, so the
+    # self-cleaning checkpoint is the deliberate choice.
     keyed = keyed.localCheckpoint(eager=True)
     sizes = keyed.groupBy("bucket").agg(F.count(F.lit(1)).alias("bucket_n"))
     if report is not None:

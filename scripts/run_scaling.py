@@ -2,15 +2,23 @@
 
 Runs the flagship ER scoring job on the SAME deterministic input at
 local[N] and local[4N] (sandbox stand-in for N vs 4N executors), each in its
-own JVM, interleaved over ``trials`` rounds (best-of, to suppress noisy-
-neighbor host steal — this sandbox is a shared-host VM), and writes
-BENCH/BASELINE.md + BENCH/scaling.json.
+own JVM, interleaved over ``trials`` rounds (N, 4N, N, 4N, ... — equal trial
+counts per level), and writes BENCH/BASELINE.md + BENCH/scaling.json.
+
+Estimators (r3 verdict asked for both, so the gate doesn't rest on best-of
+alone): per level the report carries best-of (max pairs/sec — the
+established estimator of the undisturbed wall on this noisy shared host),
+trimmed-mean (drop the single slowest trial, mean of the rest — robust to
+one stolen window), and the plain mean; the efficiency is reported under all
+three. Trials whose wall exceeds 1.5x the level's min are flagged
+``steal_suspect`` (one-sided noise: steal only ever ADDS time).
 
 Usage: python scripts/run_scaling.py [n_entities] [N] [trials]
 """
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
 import subprocess
@@ -112,48 +120,131 @@ def run(cores: int, n_entities: int, docs_path: str = "") -> dict:
         # cores either (DuckDB is already pinned to threads=1 in-code).
         OMP_NUM_THREADS="1", OPENBLAS_NUM_THREADS="1", MKL_NUM_THREADS="1",
     )
+    started = time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime())
     out = subprocess.run(
         [sys.executable, "-c", WORKER], env=env, capture_output=True, text=True, timeout=9000
     )
     for line in out.stdout.splitlines():
         if line.startswith("RESULT "):
-            return json.loads(line[len("RESULT "):])
+            rec = json.loads(line[len("RESULT "):])
+            # trial start timestamp: lets steal windows be correlated across
+            # the interleaved sequence post-hoc
+            rec["started_utc"] = started
+            return rec
     raise RuntimeError(f"no RESULT line (cores={cores}):\n{out.stdout[-2000:]}\n{out.stderr[-3000:]}")
+
+
+def input_cache_path(n_entities: int) -> str:
+    """Versioned input cache: the path is keyed by a hash of the generator
+    source + seed, so ANY change to synth.py invalidates the cache instead
+    of silently benchmarking stale bytes (ADVICE r3)."""
+    with open(os.path.join(REPO, "merge_machine_spark", "sources", "synth.py"), "rb") as f:
+        gen_hash = hashlib.sha256(f.read() + b"|seed=42").hexdigest()[:12]
+    return os.path.join("/tmp", f"scaling_docs_{n_entities}_{gen_hash}.parquet")
+
+
+def ensure_input(n_entities: int) -> str:
+    docs_path = input_cache_path(n_entities)
+    success = os.path.join(docs_path, "_SUCCESS")
+    if os.path.exists(success):
+        return docs_path
+    gen = subprocess.run(
+        [sys.executable, "-c", GENERATE],
+        env=dict(os.environ, REPO=REPO, N_ENTITIES=str(n_entities), DOCS_PATH=docs_path, PYTHONPATH=REPO),
+        capture_output=True, text=True, timeout=3600,
+    )
+    # returncode AND the Spark _SUCCESS marker: isdir alone passes on a
+    # partially written dataset (ADVICE r3)
+    if gen.returncode != 0 or not os.path.exists(success):
+        raise RuntimeError(f"generation failed (rc={gen.returncode}):\n{gen.stdout[-2000:]}\n{gen.stderr[-2000:]}")
+    return docs_path
+
+
+def estimators(trials: list[dict]) -> dict:
+    """Per-level summary: best-of, trimmed-mean (drop single slowest),
+    plain mean, and steal-suspect flags (wall > 1.5x level min)."""
+    walls = [t["t_score_sec"] for t in trials]
+    pairs = trials[0]["pairs_scored"]
+    lo = min(walls)
+    kept = sorted(walls)[:-1] if len(walls) >= 3 else walls
+    tmean = sum(kept) / len(kept)
+    mean = sum(walls) / len(walls)
+    return {
+        "walls_sec": walls,
+        "best_wall_sec": lo,
+        "trimmed_mean_wall_sec": round(tmean, 2),
+        "mean_wall_sec": round(mean, 2),
+        "best_pairs_per_sec": round(pairs / lo, 1),
+        "trimmed_mean_pairs_per_sec": round(pairs / tmean, 1),
+        "mean_pairs_per_sec": round(pairs / mean, 1),
+        "steal_suspect": [w > 1.5 * lo for w in walls],
+    }
 
 
 def main() -> None:
     n_entities = int(sys.argv[1]) if len(sys.argv) > 1 else 20_000
     n = int(sys.argv[2]) if len(sys.argv) > 2 else 2
-    trials = int(sys.argv[3]) if len(sys.argv) > 3 else 2
+    trials = int(sys.argv[3]) if len(sys.argv) > 3 else 4
     n4 = n * 4
-    # pre-generate the input once (16 cores: generation is untimed setup and
-    # the host saturates beyond ~16 threads) — every run reads the same bytes
-    docs_path = os.path.join("/tmp", f"scaling_docs_{n_entities}.parquet")
-    if not os.path.isdir(docs_path):
-        gen = subprocess.run(
-            [sys.executable, "-c", GENERATE],
-            env=dict(os.environ, REPO=REPO, N_ENTITIES=str(n_entities), DOCS_PATH=docs_path, PYTHONPATH=REPO),
-            capture_output=True, text=True, timeout=3600,
-        )
-        if not os.path.isdir(docs_path):
-            raise RuntimeError(f"generation failed:\n{gen.stdout[-2000:]}\n{gen.stderr[-2000:]}")
+    docs_path = ensure_input(n_entities)
     runs: dict[int, list[dict]] = {n: [], n4: []}
-    for _ in range(trials):
+    for i in range(trials):
+        # interleaved N, 4N, N, 4N ... — equal counts per level, and both
+        # levels sample every steal regime the run lives through
         runs[n].append(run(n, n_entities, docs_path))
+        _progress(n_entities, n, n4, runs)
         runs[n4].append(run(n4, n_entities, docs_path))
+        _progress(n_entities, n, n4, runs)
+    write_report(n_entities, n, n4, runs, trials)
+
+
+def _progress(n_entities: int, n: int, n4: int, runs: dict) -> None:
+    """Persist partial results after every trial so a killed run loses
+    nothing and progress is observable from outside."""
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    with open(os.path.join(REPO, "BENCH", "scaling_partial.json"), "w") as f:
+        json.dump({"n_entities": n_entities, "runs": {str(k): v for k, v in runs.items()}}, f, indent=1)
+
+
+def write_report(n_entities: int, n: int, n4: int, runs: dict, trials: int) -> None:
+    est_n, est_4n = estimators(runs[n]), estimators(runs[n4])
     best_n = max(runs[n], key=lambda r: r["pairs_per_sec"])
     best_4n = max(runs[n4], key=lambda r: r["pairs_per_sec"])
-    eff = (best_4n["pairs_per_sec"] / best_n["pairs_per_sec"]) / 4
+    eff_best = (est_4n["best_pairs_per_sec"] / est_n["best_pairs_per_sec"]) / 4
+    eff_tmean = (est_4n["trimmed_mean_pairs_per_sec"] / est_n["trimmed_mean_pairs_per_sec"]) / 4
+    eff_mean = (est_4n["mean_pairs_per_sec"] / est_n["mean_pairs_per_sec"]) / 4
+
+    # carry forward prior rounds' results (scaling.json "history")
+    history = {}
+    prev_path = os.path.join(REPO, "BENCH", "scaling.json")
+    if os.path.exists(prev_path):
+        try:
+            with open(prev_path) as f:
+                prev = json.load(f)
+            history = prev.pop("history", {})
+            tag = f"prev_{prev.get('n_entities', '?')}ent_{n}v{n4}"
+            history[tag] = {k: v for k, v in prev.items() if k != "all_runs"}
+            history[tag + "_all_runs"] = prev.get("all_runs", {})
+        except Exception:
+            pass
+
     report = {
         "n_entities": n_entities,
-        "trials": trials,
+        "trials_per_level": trials,
         f"N(cores={n})": best_n,
         f"4N(cores={n4})": best_4n,
+        f"estimators_N(cores={n})": est_n,
+        f"estimators_4N(cores={n4})": est_4n,
         "all_runs": runs,
-        "speedup": round(best_4n["pairs_per_sec"] / best_n["pairs_per_sec"], 3),
-        "scaling_efficiency": round(eff, 3),
+        "speedup_best": round(est_4n["best_pairs_per_sec"] / est_n["best_pairs_per_sec"], 3),
+        "scaling_efficiency_best": round(eff_best, 3),
+        "scaling_efficiency_trimmed_mean": round(eff_tmean, 3),
+        "scaling_efficiency_mean": round(eff_mean, 3),
+        # the headline number: best-of, the protocol estimator since r1
+        "scaling_efficiency": round(eff_best, 3),
+        "history": history,
     }
-    print(json.dumps({k: v for k, v in report.items() if k != "all_runs"}, indent=1))
+    print(json.dumps({k: v for k, v in report.items() if k not in ("all_runs", "history")}, indent=1))
     md = f"""# BENCH baseline — flagship ER pipeline
 
 Input: deterministic synthetic interleaved-span `documents` table
@@ -162,17 +253,23 @@ seed=42)`, {best_n["n_docs"]} docs — identical bytes at any parallelism), conf
 `ResolveConfig(threshold=0.45)`.
 
 North-rule scaling evidence — same job, same input, two parallelism levels
-(sandbox stand-in for N vs 4N executors), separate JVMs, best of {trials}
-interleaved trials (this sandbox is a shared-host VM; interleaving + best-of
-suppresses noisy-neighbor steal):
+(sandbox stand-in for N vs 4N executors), separate JVMs, {trials} trials per
+level, strictly interleaved N,4N,N,4N (this sandbox is a shared-host VM;
+interleaving means both levels sample every steal regime the run lives
+through). Three estimators per level so the gate does not rest on a single
+statistic (r3 verdict):
 
-| parallelism | docs | candidate pairs scored | scoring wall (s) | pairs/sec | CC wall (s) |
-|---|---|---|---|---|---|
-| N = local[{n}] | {best_n["n_docs"]} | {best_n["pairs_scored"]} | {best_n["t_score_sec"]} | {best_n["pairs_per_sec"]} | {best_n["t_cc_sec"]} |
-| 4N = local[{n4}] | {best_4n["n_docs"]} | {best_4n["pairs_scored"]} | {best_4n["t_score_sec"]} | {best_4n["pairs_per_sec"]} | {best_4n["t_cc_sec"]} |
+| parallelism | docs | pairs scored | walls (s, all trials) | best (s) | trimmed mean (s) | mean (s) | best pairs/s |
+|---|---|---|---|---|---|---|---|
+| N = local[{n}] | {best_n["n_docs"]} | {best_n["pairs_scored"]} | {est_n["walls_sec"]} | {est_n["best_wall_sec"]} | {est_n["trimmed_mean_wall_sec"]} | {est_n["mean_wall_sec"]} | {est_n["best_pairs_per_sec"]} |
+| 4N = local[{n4}] | {best_4n["n_docs"]} | {best_4n["pairs_scored"]} | {est_4n["walls_sec"]} | {est_4n["best_wall_sec"]} | {est_4n["trimmed_mean_wall_sec"]} | {est_4n["mean_wall_sec"]} | {est_4n["best_pairs_per_sec"]} |
 
-**Throughput scaling efficiency N -> 4N = {report["scaling_efficiency"]}**
-(target >= 0.8, BASELINE.json `north_rule`). Speedup {report["speedup"]}x on 4x cores.
+**Throughput scaling efficiency N -> 4N (target >= 0.8, BASELINE.json
+`north_rule`): best-of = {report["scaling_efficiency_best"]}, trimmed-mean
+(drop single slowest trial per level) = {report["scaling_efficiency_trimmed_mean"]},
+plain mean = {report["scaling_efficiency_mean"]}.** Speedup (best-of)
+{report["speedup_best"]}x on 4x cores. Steal-suspect trials (wall > 1.5x level
+min): N {est_n["steal_suspect"]}, 4N {est_4n["steal_suspect"]}.
 
 Throughput metric = candidate-pairs-scored/sec through the full scoring
 stage (blocking token join + TF-IDF cosine + Jaro-Winkler / token-jaccard /
@@ -185,10 +282,11 @@ broadcast of the per-doc feature payload (ids-only pair shuffle), TF-IDF
 prefilter before Python-side features, bounded-prefix Jaro-Winkler,
 document-frequency cap + salted hot-key join.
 
-Host caveat: this sandbox VM showed heavy cross-run variance and saturation
-above ~8-16 concurrent threads (pure-JVM probe: 2.3x at 4x threads;
-pure-Python probe: 3.1x), so N={n} vs 4N={n4} measures the engine rather
-than the host ceiling. All raw trials in BENCH/scaling.json.
+Host caveat: this sandbox VM showed heavy cross-run variance (same-code
+walls swing up to 2.4x — r3 verdict adjudication) and saturation above
+~8-16 concurrent threads (pure-JVM probe: 2.3x at 2->8 threads), so
+N={n} vs 4N={n4} measures the engine rather than the host ceiling. All raw
+trials + per-trial start timestamps in BENCH/scaling.json.
 
 Generated by scripts/run_scaling.py on {time.strftime("%Y-%m-%d %H:%M UTC", time.gmtime())}.
 """

@@ -157,6 +157,13 @@ def test_english_golden_tokens():
                  ("electriciti", "electr"), ("adjustment", "adjust"), ("hopping", "hop"),
                  ("controll", "control"), ("roll", "roll"), ("agreed", "agre")]:
         assert porter_stem(w) == e, w
+    # Martin Porter's official step-2 departures (the Lucene/ES variant,
+    # ADVICE r3): logi->log and bli->ble, both guarded by (m>0) on the stem
+    for w, e in [("archaeology", "archaeolog"),   # logi->log fires (m>0)
+                 ("geology", "geologi"),          # guard holds: m('geo')=0, same as Lucene
+                 ("probably", "probabl"),         # bli->ble path
+                 ("analogies", "analog")]:
+        assert porter_stem(w) == e, (w, porter_stem(w))
 
 
 def test_english_channel_spark_and_filters(spark):

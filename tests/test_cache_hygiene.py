@@ -18,7 +18,7 @@ import time
 
 from pyspark.sql import functions as F
 
-from merge_machine_spark.caching import _TRACKED, release
+from merge_machine_spark.caching import release, tracked_count
 from merge_machine_spark.plans.pipeline import ResolveConfig, link, resolve
 
 
@@ -51,7 +51,7 @@ def test_resolve_and_link_do_not_accumulate_caches(spark, docs300):
         res = resolve(spark, docs, cfg)
         assert res["pair_scores"].count() > 0
         # deterministic: every tracked persist was released by resolve()
-        assert _TRACKED == []
+        assert tracked_count() == 0
         release(res)
         counts.append(_settle(spark))
 
@@ -68,7 +68,7 @@ def test_resolve_and_link_do_not_accumulate_caches(spark, docs300):
         }],
     )
     assert out.count() > 0
-    assert _TRACKED == []
+    assert tracked_count() == 0
     n_link = _settle(spark)
 
     # bounded, sub-linear: pre-fix each resolve() leaked 4 explicit caches

@@ -130,12 +130,12 @@ def test_stats_history_per_step_and_gc():
     assert lab.current_step == 15
     assert len(lab.query_order) == 15
     # surviving template: one summary per step, with the full stat shape
-    assert sorted(lab.query_stats[akey]) == list(range(15))
-    assert set(lab.query_stats[akey][14]) == {"precision", "recall", "score", "position"}
-    assert lab.query_stats[akey][14]["position"] == 0
+    assert sorted(lab.query_stats[akey], key=int) == [str(i) for i in range(15)]
+    assert set(lab.query_stats[akey]["14"]) == {"precision", "recall", "score", "position"}
+    assert lab.query_stats[akey]["14"]["position"] == 0
     # dropped template: present for >5 steps then GC'd after 5 idle steps
     assert bkey not in lab.query_stats
     assert all(bkey not in step for step in lab.query_order)
     # history rows for the dropped template were removed everywhere, but the
     # step count and order-list length are untouched (reference semantics)
-    assert lab.query_stats[akey][0]["precision"] >= 0.0
+    assert lab.query_stats[akey]["0"]["precision"] >= 0.0

@@ -122,3 +122,53 @@ def test_link_with_params_end_to_end(spark, fixture):
     j = out.filter(F.col("__IS_MATCH")).join(src.select("doc_id", "ref_id"), "doc_id")
     acc = j.agg(F.avg((F.col("__ID_REF") == F.col("ref_id")).cast("double"))).collect()[0][0]
     assert acc >= 0.85
+
+
+def test_default_filter_channels_mirror_reference(spark):
+    """r3 verdict next-round #3: apply_global_filters / link default to the
+    reference's DEFAULT_FILTER_FIELDS analyzers (standard + french_estab +
+    english, helpers.py:106). The english channel makes a stemmed filter
+    word bite by DEFAULT: must_not=['running'] excludes a ref row whose text
+    says 'runs' (english stems both to 'run'), which the old
+    standard-only default let through."""
+    from merge_machine_spark.plans.pipeline import DEFAULT_FILTER_CHANNELS
+
+    assert DEFAULT_FILTER_CHANNELS == ("standard", "french_estab", "english")
+
+    ref = spark.createDataFrame(
+        [("r1", "factory that runs daily"), ("r2", "quiet dormant factory")],
+        "doc_id string, full_name string",
+    )
+    # default channels: english overlap 'running'~'runs' (both stem to 'run')
+    kept = apply_global_filters(spark, ref, must_not={"full_name": ["running"]})
+    assert {r["doc_id"] for r in kept.collect()} == {"r2"}
+    # explicit standard-only (the old default): no surface-token overlap
+    kept_std = apply_global_filters(
+        spark, ref, must_not={"full_name": ["running"]}, channels=("standard",)
+    )
+    assert {r["doc_id"] for r in kept_std.collect()} == {"r1", "r2"}
+
+
+def test_link_default_filters_use_english_stemming(spark):
+    """Same parity through the full link() path: a source doc that matches
+    the 'runs' ref exactly is forced off it by must_not=['running'] under
+    the DEFAULT channels — the ref row is excluded before any tier search."""
+    ref = spark.createDataFrame(
+        [("r1", "alpha factory runs"), ("r2", "beta works quiet")],
+        "doc_id string, full_name string",
+    )
+    src = spark.createDataFrame(
+        [("s1", "alpha factory runs")], "doc_id string, school_names string"
+    )
+    tiers = [{
+        "proj_a": "school_names", "proj_b": "full_name", "channel": "standard",
+        "weights": {"tfidf_cosine": 1.0}, "threshold": 0.2,
+    }]
+    # without filters: s1 matches r1 (identical text)
+    out = link(spark, src, ref, tiers)
+    row = out.collect()[0]
+    assert row["__IS_MATCH"] and row["__ID_REF"] == "r1"
+    # with the default-channel must_not: r1 is excluded via english stemming
+    out = link(spark, src, ref, tiers, must_not={"full_name": ["running"]})
+    row = out.collect()[0]
+    assert row["__ID_REF"] != "r1"
