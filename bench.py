@@ -10,8 +10,12 @@ The ER throughput component (BASELINE.json metric: candidate-pairs-scored/sec)
 runs the flagship resolve() over the deterministic interleaved-span synthetic
 table sized to the sf (no external data), because the driver's flat
 ``documents`` table is ~5k rows at every sf — far too small to exercise the
-pair plane. Scaling-efficiency evidence (local[8] vs local[32]) is produced
-by scripts/run_scaling.py into BENCH/BASELINE.md.
+pair plane. Scaling-efficiency evidence (local[1] vs local[4] at the
+amortized 2.16M-doc size — this host saturates above ~8-16 threads, see
+BENCH/BASELINE.md host caveat) is produced by scripts/run_scaling.py into
+BENCH/BASELINE.md + BENCH/scaling.json, with an independent host-noise
+timeline from scripts/steal_probe.py correlated per-trial by
+scripts/steal_summary.py.
 """
 
 from __future__ import annotations

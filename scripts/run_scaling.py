@@ -291,8 +291,19 @@ trials + per-trial start timestamps in BENCH/scaling.json.
 Generated by scripts/run_scaling.py on {time.strftime("%Y-%m-%d %H:%M UTC", time.gmtime())}.
 """
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
-    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
-        f.write(md)
+    # Regenerate only the headline section; everything at and below the
+    # protocol-notes marker (measurement protocol, scaling matrix, per-stage
+    # decomposition, steal-probe correlation — hand-maintained) is preserved.
+    baseline_path = os.path.join(REPO, "BENCH", "BASELINE.md")
+    marker = "<!-- protocol-notes -->"
+    tail = ""
+    if os.path.exists(baseline_path):
+        with open(baseline_path) as f:
+            prev_md = f.read()
+        if marker in prev_md:
+            tail = prev_md[prev_md.index(marker):]
+    with open(baseline_path, "w") as f:
+        f.write(md + ("\n" + tail if tail else ""))
     with open(os.path.join(REPO, "BENCH", "scaling.json"), "w") as f:
         json.dump(report, f, indent=1)
 

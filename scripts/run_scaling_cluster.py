@@ -23,7 +23,11 @@ import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 CORES_PER_EXEC = 2
-EXEC_MEM_MB = 7168
+# 12 GiB/executor: the amortized-size input (2.16M docs, ~25M scored pairs)
+# needs headroom for the persisted pair_scores at the 1-executor level; the
+# 4-executor level then gets the identical per-executor budget (4x12=48 GiB
+# on a 128 GiB host). Overridable for smaller probes.
+EXEC_MEM_MB = int(os.environ.get("SCALING_EXEC_MEM_MB", "12288"))
 
 WORKER = r"""
 import json, os, sys, time
@@ -105,18 +109,12 @@ def run(n_exec: int, docs_path: str) -> dict:
 
 
 def ensure_input(n_entities: int) -> str:
-    docs_path = os.path.join("/tmp", f"scaling_docs_{n_entities}.parquet")
-    if not os.path.isdir(docs_path):
-        from run_scaling import GENERATE  # same pre-generation step
+    # reuse run_scaling's versioned cache (generator-hash path + rc/_SUCCESS
+    # check — ADVICE r3): both harnesses must benchmark the identical bytes
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from run_scaling import ensure_input as _ensure
 
-        gen = subprocess.run(
-            [sys.executable, "-c", GENERATE],
-            env=dict(os.environ, REPO=REPO, N_ENTITIES=str(n_entities), DOCS_PATH=docs_path, PYTHONPATH=REPO),
-            capture_output=True, text=True, timeout=3600,
-        )
-        if not os.path.isdir(docs_path):
-            raise RuntimeError(f"generation failed:\n{gen.stdout[-2000:]}\n{gen.stderr[-2000:]}")
-    return docs_path
+    return _ensure(n_entities)
 
 
 def main() -> None:
