@@ -222,7 +222,11 @@ def write_report(n_entities: int, n: int, n4: int, runs: dict, trials: int) -> N
             with open(prev_path) as f:
                 prev = json.load(f)
             history = prev.pop("history", {})
-            tag = f"prev_{prev.get('n_entities', '?')}ent_{n}v{n4}"
+            # tag embeds the prior run's generation stamp: re-running the
+            # SAME configuration appends a distinct history entry instead of
+            # clobbering the earlier round's raw trials (ADVICE r4)
+            stamp = str(prev.get("generated_utc", "?")).replace(" ", "T")
+            tag = f"prev_{prev.get('n_entities', '?')}ent_{n}v{n4}_{stamp}"
             history[tag] = {k: v for k, v in prev.items() if k != "all_runs"}
             history[tag + "_all_runs"] = prev.get("all_runs", {})
         except Exception:
@@ -242,6 +246,7 @@ def write_report(n_entities: int, n: int, n4: int, runs: dict, trials: int) -> N
         "scaling_efficiency_mean": round(eff_mean, 3),
         # the headline number: best-of, the protocol estimator since r1
         "scaling_efficiency": round(eff_best, 3),
+        "generated_utc": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
         "history": history,
     }
     print(json.dumps({k: v for k, v in report.items() if k not in ("all_runs", "history")}, indent=1))

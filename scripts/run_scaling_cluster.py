@@ -10,7 +10,13 @@ executor COUNT 1 -> 4, exactly the N -> 4N shape of the rule.
 
 Same deterministic input + interleaved best-of protocol as run_scaling.py.
 
-Usage: python scripts/run_scaling_cluster.py [n_entities] [n_exec] [trials]
+``ratio`` (4th arg, default 4) picks the level pair: 4 gives the north
+rule's N -> 4N; 2 gives N -> 2N — the r4 verdict's next-round #5 asked for
+1 vs 2 executors at the amortized 2.16M-doc size, because the 1 -> 4 point
+(0.658) is bus-saturated at 8 concurrent Arrow-heavy cores on this host and
+1 -> 2 sits in the unsaturated regime.
+
+Usage: python scripts/run_scaling_cluster.py [n_entities] [n_exec] [trials] [ratio]
 """
 
 from __future__ import annotations
@@ -99,12 +105,17 @@ def run(n_exec: int, docs_path: str) -> dict:
         OMP_NUM_THREADS="1", OPENBLAS_NUM_THREADS="1", MKL_NUM_THREADS="1",
         SPARK_HOME=__import__("pyspark").__path__[0],
     )
+    started = time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime())
     out = subprocess.run(
         [sys.executable, "-c", WORKER], env=env, capture_output=True, text=True, timeout=9000
     )
     for line in out.stdout.splitlines():
         if line.startswith("RESULT "):
-            return json.loads(line[len("RESULT "):])
+            rec = json.loads(line[len("RESULT "):])
+            # trial start timestamp: steal-probe correlation (scripts/
+            # steal_summary.py) needs per-trial windows
+            rec["started_utc"] = started
+            return rec
     raise RuntimeError(f"no RESULT (n_exec={n_exec}):\n{out.stdout[-2000:]}\n{out.stderr[-3000:]}")
 
 
@@ -122,30 +133,52 @@ def main() -> None:
     n_entities = int(sys.argv[1]) if len(sys.argv) > 1 else 60_000
     n = int(sys.argv[2]) if len(sys.argv) > 2 else 1
     trials = int(sys.argv[3]) if len(sys.argv) > 3 else 2
-    n4 = n * 4
+    ratio = int(sys.argv[4]) if len(sys.argv) > 4 else 4
+    n_hi = n * ratio
     docs_path = ensure_input(n_entities)
-    runs: dict[int, list[dict]] = {n: [], n4: []}
+    runs: dict[int, list[dict]] = {n: [], n_hi: []}
     for _ in range(trials):
         runs[n].append(run(n, docs_path))
-        runs[n4].append(run(n4, docs_path))
+        runs[n_hi].append(run(n_hi, docs_path))
         print(json.dumps({"partial": {k: v for k, v in runs.items()}}), flush=True)
     best_n = max(runs[n], key=lambda r: r["pairs_per_sec"])
-    best_4n = max(runs[n4], key=lambda r: r["pairs_per_sec"])
-    eff = (best_4n["pairs_per_sec"] / best_n["pairs_per_sec"]) / 4
+    best_hi = max(runs[n_hi], key=lambda r: r["pairs_per_sec"])
+    eff = (best_hi["pairs_per_sec"] / best_n["pairs_per_sec"]) / ratio
+    generated = time.strftime("%Y-%m-%d %H:%M", time.gmtime())
+
+    # carry forward prior configurations instead of clobbering them; the
+    # tag embeds the prior run's generation stamp so re-running the SAME
+    # configuration appends a new history entry rather than silently
+    # dropping the old raw trials (ADVICE r4 on run_scaling.py's keying)
+    history = {}
+    out_path = os.path.join(REPO, "BENCH", "scaling_cluster.json")
+    if os.path.exists(out_path):
+        try:
+            with open(out_path) as f:
+                prev = json.load(f)
+            history = prev.pop("history", {})
+            stamp = prev.get("generated_utc", "?").replace(" ", "T")
+            tag = f"prev_{prev.get('n_entities', '?')}ent_{prev.get('levels', '1v4')}_{stamp}"
+            history[tag] = prev
+        except Exception:
+            pass
+
     report = {
         "mode": f"local-cluster[N,{CORES_PER_EXEC},{EXEC_MEM_MB}]",
         "n_entities": n_entities,
         "trials": trials,
+        "levels": f"{n}v{n_hi}",
         f"N({n} executors)": best_n,
-        f"4N({n4} executors)": best_4n,
+        f"{ratio}N({n_hi} executors)": best_hi,
         "all_runs": runs,
-        "speedup": round(best_4n["pairs_per_sec"] / best_n["pairs_per_sec"], 3),
+        "speedup": round(best_hi["pairs_per_sec"] / best_n["pairs_per_sec"], 3),
         "scaling_efficiency": round(eff, 3),
-        "generated_utc": time.strftime("%Y-%m-%d %H:%M", time.gmtime()),
+        "generated_utc": generated,
+        "history": history,
     }
-    print(json.dumps({k: v for k, v in report.items() if k != "all_runs"}, indent=1))
+    print(json.dumps({k: v for k, v in report.items() if k not in ("all_runs", "history")}, indent=1))
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
-    with open(os.path.join(REPO, "BENCH", "scaling_cluster.json"), "w") as f:
+    with open(out_path, "w") as f:
         json.dump(report, f, indent=1)
 
 

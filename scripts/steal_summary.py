@@ -47,6 +47,8 @@ def main() -> None:
             rec = json.loads(line)
             samples.append((parse_utc(rec["utc"]), rec["wall_sec"]))
     samples.sort()
+    if not samples:
+        sys.exit(f"steal_summary: no probe samples in {probe_path} — was the probe running?")
     walls = [w for _, w in samples]
     quiet_floor = pctile(walls, 0.05)
 
@@ -74,9 +76,11 @@ def main() -> None:
             "started_utc": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime(t["start"])),
             "t_score_sec": t["t_score_sec"], "pairs_per_sec": t["pairs_per_sec"],
             "probe_samples": len(win),
-            "probe_median_sec": round(med, 3) if med else None,
+            # "is not None", not truthiness: a (theoretical) 0.0 median must
+            # not be reported as missing (ADVICE r4)
+            "probe_median_sec": round(med, 3) if med is not None else None,
             "probe_max_sec": round(max(win), 3) if win else None,
-            "probe_inflation": round(med / quiet_floor, 2) if med else None,
+            "probe_inflation": round(med / quiet_floor, 2) if med is not None else None,
         })
 
     report = {
