@@ -226,9 +226,11 @@ def _one_media_doc(spark, ref="img://a"):
 
 
 def test_media_store_dispatch_same_schema_both_paths(spark):
-    """With a media_store of real PNG bytes: pillow-equipped workers decode
-    for real (true 1x1 dims); pillow-less workers (this container) warn once
-    and fall back to the deterministic stub. Same schema either way."""
+    """With a media_store of real PNG bytes the REAL decode path runs in
+    every environment: pillow where it imports, the pure-Python miniimage
+    PNG/BMP decoder otherwise (this container — r4 verdict next-round #4).
+    True 1x1 dims either way, same schema as the no-store stub path, and
+    the real feature differs from the ref-hash stub feature."""
     docs = _one_media_doc(spark)
     store = spark.createDataFrame([("img://a", bytearray(_PNG_1x1))], "media_ref string, media_bytes binary")
 
@@ -241,27 +243,36 @@ def test_media_store_dispatch_same_schema_both_paths(spark):
     assert len(row["feature"]) == 16
     norm = sum(x * x for x in row["feature"]) ** 0.5
     assert abs(norm - 1.0) < 1e-3
+    # real path on both decoders: true decoded dimensions of the 1x1 PNG
+    assert (row["width"], row["height"]) == (1, 1)
+    # and the decoded-pixel feature is not the ref-hash pseudo-feature
+    stub = without_store.collect()[0]
+    assert row["feature"] != stub["feature"]
 
+
+def test_media_unsupported_format_falls_back_to_stub_with_warning(spark):
+    """A payload format outside the built-in decoder's subset (JPEG magic)
+    on a pillow-less worker takes the WARNED deterministic-stub path —
+    same features as the no-bytes case, never silent divergence."""
     try:
         import PIL  # noqa: F401
 
-        has_pil = True
+        pytest.skip("stub-fallback dispatch is the no-pillow branch")
     except ImportError:
-        has_pil = False
-    if has_pil:
-        # real path: true decoded dimensions of the 1x1 PNG
-        assert (row["width"], row["height"]) == (1, 1)
-    else:
-        # fallback path: identical to the no-bytes stub result
-        stub = without_store.collect()[0]
-        assert row["feature"] == stub["feature"]
-        assert (row["width"], row["height"]) == (stub["width"], stub["height"])
+        pass
+    docs = _one_media_doc(spark)
+    jpegish = b"\xff\xd8\xff\xe0" + b"\x00" * 32
+    store = spark.createDataFrame([("img://a", bytearray(jpegish))], "media_ref string, media_bytes binary")
+    row = extract_media_features(docs, media_store=store).collect()[0]
+    stub = extract_media_features(docs).collect()[0]
+    assert row["decode_ok"]
+    assert row["feature"] == stub["feature"]
+    assert (row["width"], row["height"]) == (stub["width"], stub["height"])
 
 
 def test_media_real_decode_corrupt_bytes_flags_not_ok(spark):
-    """Real path only (skips without pillow): undecodable payload bytes give
-    an honest decode_ok=False row, never a task failure."""
-    pytest.importorskip("PIL")
+    """Undecodable payload bytes that CLAIM to be PNG give an honest
+    decode_ok=False row on either decoder, never a task failure."""
     docs = _one_media_doc(spark)
     store = spark.createDataFrame(
         [("img://a", bytearray(b"\x89PNG-not-really"))], "media_ref string, media_bytes binary"
@@ -272,16 +283,20 @@ def test_media_real_decode_corrupt_bytes_flags_not_ok(spark):
 
 
 def test_decode_image_bytes_unit():
-    """Driver-side unit check of the real decoder (skips without pillow):
-    16-dim L2-normalized feature + true dims, deterministic across calls."""
-    Image = pytest.importorskip("PIL.Image")
-    from merge_machine_spark.functions.multimodal import _decode_image_bytes
+    """Driver-side unit check of the real decoder (runs in EVERY env: PIL
+    when importable, miniimage otherwise): 16-dim L2-normalized feature +
+    true dims, deterministic across calls."""
+    from merge_machine_spark.functions.multimodal import _decode_image_bytes, _try_import_pil
 
+    Image = _try_import_pil()
     v1, w, h = _decode_image_bytes(_PNG_1x1, Image)
     v2, _, _ = _decode_image_bytes(_PNG_1x1, Image)
     assert (w, h) == (1, 1)
     assert len(v1) == 16
     assert list(v1) == list(v2)
+    # 1x1 image: all 16 thumbnail cells hold the same luma -> L2-normalized
+    # feature is exactly 0.25 everywhere, on BOTH decoders (shared math)
+    assert all(abs(x - 0.25) < 1e-6 for x in v1)
 
 
 def test_lambda_loop_batch_reresolve_merges_stream_split(spark, tmp_path):
