@@ -29,6 +29,43 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
+def er_trial_decision(
+    er_trials: list[float],
+    floor: float | None,
+    elapsed_sec: float,
+    max_trials: int = 7,
+    wall_budget_sec: float = 300.0,
+) -> tuple[bool, str]:
+    """Stopping rule for the ER trial loop (r4 verdict what's-wrong #1),
+    extracted pure so tests/test_bench_stopping.py can replay the r4 failure
+    vector without Spark. Corroboration alone (two trials within 10% of the
+    running min) must NEVER end the loop while the min sits above 1.3x the
+    persisted quiet floor — that is exactly how r4's driver run locked in a
+    uniformly-stolen [104.5, 78.7, 81.1] window and reported 78.7s while the
+    same code ran 14.8-22.4s quiet. Returns (stop, reason); reason lands in
+    the BENCH artifact as ``er_stop_reason``."""
+    lo = min(er_trials)
+    corroborated = sum(1 for t in er_trials if t <= lo * 1.10) >= 2
+    if floor is not None:
+        if lo <= 1.10 * floor:
+            # at the floor: nothing quieter is expected, more trials only
+            # add wall-clock
+            return True, "at_floor"
+        if corroborated and lo <= 1.3 * floor:
+            return True, "corroborated_near_floor"
+    elif corroborated and len(er_trials) >= 3:
+        # no floor recorded yet for this (sf, pairs) — corroboration plus a
+        # 3-trial minimum seeds one
+        return True, "seeded_floor"
+    if len(er_trials) >= max_trials:
+        return True, "max_trials_exhausted"
+    if len(er_trials) >= 2 and elapsed_sec > wall_budget_sec:
+        # a bad host day cannot run the driver bench away; window_stolen
+        # flags the result if still above the floor
+        return True, "wall_budget_exhausted"
+    return False, "continue"
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -111,8 +148,8 @@ def main() -> None:
     floor_key = None
     floor = None
     loop_t0 = time.time()
-    MAX_TRIALS, WALL_BUDGET_SEC = 7, 300.0
-    for _ in range(MAX_TRIALS):
+    stop, stop_reason = False, "continue"
+    while not stop:
         spark.catalog.clearCache()
         docs.persist()
         docs.count()
@@ -126,17 +163,7 @@ def main() -> None:
         if floor_key is None:
             floor_key = f"sf{sf}_pairs{pairs_scored}"
             floor = floors.get(floor_key)
-        lo = min(er_trials)
-        corroborated = sum(1 for t in er_trials if t <= lo * 1.10) >= 2
-        if floor is not None:
-            if lo <= 1.10 * floor or (corroborated and lo <= 1.3 * floor):
-                break
-        elif corroborated and len(er_trials) >= 3:
-            # no floor recorded yet for this (sf, pairs) — corroboration
-            # plus a 3-trial minimum seeds one
-            break
-        if len(er_trials) >= 2 and time.time() - loop_t0 > WALL_BUDGET_SEC:
-            break
+        stop, stop_reason = er_trial_decision(er_trials, floor, time.time() - loop_t0)
     t_score = min(er_trials)
     window_stolen = floor is not None and t_score > 1.3 * floor
     # persist the floor monotonically downward: any quieter observation
@@ -181,6 +208,7 @@ def main() -> None:
         # the headline below is then a STOLEN-WINDOW number, not the code's
         # reproducible wall (see BENCH/quiet_floor.json)
         "window_stolen": window_stolen,
+        "er_stop_reason": stop_reason,
         "pairs_scored": pairs_scored,
         "pairs_scored_per_sec": round(pairs_scored / max(t_score, 1e-9), 1),
     }
