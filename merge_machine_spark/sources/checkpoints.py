@@ -4,10 +4,21 @@ North rule: every stage checkpoints its table (candidate pairs, pair scores,
 match edges, cluster assignments) so the pipeline resumes mid-run, with
 per-partition lineage and match-count / score-distribution metrics.
 
-The storage layer here is directory-per-stage parquet with a JSON manifest —
-the same layout an Iceberg catalog would manage (this sandbox has no Iceberg
-runtime jars; on a cluster, point ``table_format='iceberg'`` writes at a real
-catalog via ``df.writeTo(...)`` — the stage/manifest logic is unchanged).
+Two storage layers behind one stage/manifest contract:
+
+- ``table_format='parquet'`` (default): directory-per-stage parquet under
+  ``root`` — what this sandbox can execute (no Iceberg runtime jars here).
+- ``table_format='iceberg'``: stage tables written to a real Iceberg
+  catalog via ``df.writeTo(f"{catalog}.{run_id}.{stage}").using("iceberg")``
+  — the north rule's table format. Requires the cluster session to carry
+  the iceberg-spark-runtime jars and a ``spark.sql.catalog.<catalog>``
+  config; without them the write raises a RuntimeError naming exactly
+  that (tested), never a silent parquet downgrade. The JSON manifest
+  still goes to ``root`` through the Hadoop FS: Iceberg's own snapshot
+  metadata tracks data files, while the manifest carries what the
+  RESUME contract needs (completion marker, per-partition lineage +
+  score metrics) independent of table format.
+
 A stage is complete iff its manifest exists (written strictly after the data
 write succeeds, so a killed run never half-reads).
 """
@@ -46,9 +57,21 @@ class StageStore:
     run_id: str = "run"
     collect_metrics: bool = True
     table_format: str = "parquet"
+    # Iceberg catalog name (``table_format='iceberg'`` only); the session
+    # must configure spark.sql.catalog.<catalog> = an Iceberg catalog impl
+    catalog: str = "local"
+
+    def __post_init__(self) -> None:
+        if self.table_format not in ("parquet", "iceberg"):
+            raise ValueError(f"unsupported table_format {self.table_format!r} (parquet|iceberg)")
 
     def _dir(self, stage: str) -> str:
         return os.path.join(self.root, self.run_id, stage)
+
+    def _table(self, stage: str) -> str:
+        """Iceberg identifier catalog.namespace.table — run_id is the
+        namespace, so one logical run's stage tables list together."""
+        return f"{self.catalog}.{self.run_id}.{stage}"
 
     def _manifest(self, stage: str) -> str:
         return os.path.join(self._dir(stage), "_STAGE_MANIFEST.json")
@@ -77,10 +100,24 @@ class StageStore:
         """Write stage data, then the manifest (ordering = atomicity); returns
         the re-read DataFrame so downstream lineage starts at the
         checkpoint, not at the original computation."""
-        path = os.path.join(self._dir(stage), "data")
-        df.write.mode("overwrite").parquet(path)
         spark = df.sparkSession
-        out = spark.read.parquet(path)
+        if self.table_format == "iceberg":
+            name = self._table(stage)
+            try:
+                spark.sql(f"CREATE NAMESPACE IF NOT EXISTS {self.catalog}.{self.run_id}")
+                df.writeTo(name).using("iceberg").createOrReplace()
+            except Exception as e:
+                raise RuntimeError(
+                    f"Iceberg stage write failed for {name}. This session has no "
+                    "usable Iceberg runtime: add the iceberg-spark-runtime jar and "
+                    f"a spark.sql.catalog.{self.catalog} catalog config (or use "
+                    "table_format='parquet')."
+                ) from e
+            out = spark.read.table(name)
+        else:
+            path = os.path.join(self._dir(stage), "data")
+            df.write.mode("overwrite").parquet(path)
+            out = spark.read.parquet(path)
         manifest = {
             "stage": stage,
             "run_id": self.run_id,
@@ -102,6 +139,8 @@ class StageStore:
         return out
 
     def read(self, spark: SparkSession, stage: str) -> DataFrame:
+        if self.table_format == "iceberg":
+            return spark.read.table(self._table(stage))
         return spark.read.parquet(os.path.join(self._dir(stage), "data"))
 
     def manifest(self, stage: str) -> dict:
