@@ -888,6 +888,49 @@ def entry(spark: SparkSession) -> DataFrame:
     return clusters.join(sizes, "cluster_id").select("doc_id", "cluster_id", "cluster_size")
 
 
+def q_media_stub_meta(spark, sf_dir):
+    """Multimodal plumbing through the driver contract: wrap each document
+    in a single media span (ref derived from doc_id — the driver tables
+    carry no media payloads), run the REAL extract_media_features
+    mapInPandas operator (stub decode: no media_store supplied), and emit
+    the metadata columns. The stub's width/height are sha256(media_ref)
+    byte-derived, replicated hex-digit-wise in SQL_MEDIA_STUB (DuckDB
+    sha256 + strpos arithmetic, the SQL_SIMHASH technique) — a FULL value
+    oracle over the Arrow batch path; the 16-dim feature floats are
+    covered by tests/test_ann_multimodal_streaming.py."""
+    from merge_machine_spark.functions.multimodal import extract_media_features
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.array(
+            F.struct(
+                F.lit("media").alias("kind"),
+                F.lit(None).cast("string").alias("text"),
+                F.concat(F.lit("img://"), F.col("doc_id").cast("string")).alias("media_ref"),
+                F.lit(0).cast("int").alias("offset"),
+            )
+        ).alias("spans"),
+    )
+    feats = extract_media_features(docs)
+    return feats.select("doc_id", "media_ref", "width", "height", "decode_ok")
+
+
+SQL_MEDIA_STUB = """
+WITH m AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+         'img://' || CAST(doc_id AS VARCHAR) AS media_ref
+  FROM documents),
+h AS (SELECT doc_id, media_ref, sha256(media_ref) AS hx FROM m)
+SELECT doc_id, media_ref,
+  CAST(64 + ((16 * (strpos('0123456789abcdef', substr(hx, 1, 1)) - 1)
+            + (strpos('0123456789abcdef', substr(hx, 2, 1)) - 1)) % 192) AS INTEGER) AS width,
+  CAST(64 + ((16 * (strpos('0123456789abcdef', substr(hx, 3, 1)) - 1)
+            + (strpos('0123456789abcdef', substr(hx, 4, 1)) - 1)) % 192) AS INTEGER) AS height,
+  TRUE AS decode_ok
+FROM h
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "scan_clean_project": q_scan_clean_project,
@@ -920,6 +963,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multi_match_best_field": q_multi_match_best_field,
         "must_filter_phrase": q_must_filter_phrase,
         "majority_vote_user": q_majority_vote_user,
+        "media_stub_meta": q_media_stub_meta,
         # rows-only (non-SQL-expressible; pytest oracles)
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "french_analyzer_tokens": q_french_analyzer_tokens,
@@ -959,4 +1003,5 @@ def oracle_sql() -> dict[str, str]:
         "multi_match_best_field": SQL_MULTI_MATCH,
         "must_filter_phrase": SQL_MUST_PHRASE,
         "majority_vote_user": SQL_MAJORITY_VOTE,
+        "media_stub_meta": SQL_MEDIA_STUB,
     }
