@@ -235,12 +235,22 @@ JOIN sizes sa ON sa.doc_id = p.id_a JOIN sizes sb ON sb.doc_id = p.id_b
 
 def q_pair_levenshtein_top1(spark, sf_dir):
     """J5/W1 + built-in edit distance: best (lowest-distance) partner per
-    id_a among blocked pairs."""
+    id_a among blocked pairs.
+
+    The explicit repartition before the O(len_a*len_b) edit-distance
+    projection is load-bearing: the driver ``documents`` parquet is one
+    file and every join broadcasts, so without it the whole chain runs in
+    a single task pinned to the scan's layout (12.4s at sf0.1 on 32 cores
+    — measured, r5). Spreading the pairs on id_a parallelizes the DP AND
+    pre-satisfies the window's hash requirement, so no extra shuffle; the
+    count is explicit because AQE's size-based coalescing would fold a
+    few-MB compute-heavy exchange back to 2 partitions. 12.4s -> ~1.0s."""
     pairs = _block_pairs(spark, sf_dir).select("id_a", "id_b")
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     j = (
         pairs.join(docs.select(F.col("doc_id").alias("id_a"), F.col("text").alias("ta")), "id_a")
         .join(docs.select(F.col("doc_id").alias("id_b"), F.col("text").alias("tb")), "id_b")
+        .repartition(spark.sparkContext.defaultParallelism, F.col("id_a"))
         .select("id_a", "id_b", F.levenshtein("ta", "tb").alias("lev"))
     )
     w = Window.partitionBy("id_a").orderBy(F.asc("lev"), F.asc("id_b"))
@@ -267,6 +277,9 @@ def q_pair_jaro_winkler(spark, sf_dir):
     j = (
         pairs.join(docs.select(F.col("doc_id").alias("id_a"), F.col("text").alias("ta")), "id_a")
         .join(docs.select(F.col("doc_id").alias("id_b"), F.col("text").alias("tb")), "id_b")
+        # same single-task-scan escape as pair_levenshtein_top1: spread the
+        # pairs before the Arrow UDF so the JW batches parallelize
+        .repartition(spark.sparkContext.defaultParallelism, F.col("id_a"))
     )
     return j.select(
         "id_a", "id_b", F.floor(jaro_winkler(F.col("ta"), F.col("tb")) * 10000).cast("bigint").alias("jw_e4")
