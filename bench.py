@@ -66,6 +66,30 @@ def er_trial_decision(
     return False, "continue"
 
 
+def headline_retry_decision(
+    runs: list[float],
+    floor: float | None,
+    elapsed_sec: float,
+    max_runs: int = 3,
+    retry_budget_sec: float = 120.0,
+) -> tuple[bool, str]:
+    """Stopping rule for a single headline query's bounded best-of retry.
+    Headline queries are cheap (sub-seconds to a few seconds) and ran
+    single-shot until r5 — so a stolen window inflated them with no flag
+    (r4's round-over-round table: every headline query uniformly 1.5-2.3x
+    with identical row counts). Retry ONLY while the best run still exceeds
+    1.3x the persisted per-query quiet floor, capped per query and by a
+    shared block budget; quiet runs cost nothing extra. Pure for
+    tests/test_bench_stopping.py."""
+    if floor is None or min(runs) <= 1.3 * floor:
+        return True, "quiet"
+    if len(runs) >= max_runs:
+        return True, "max_runs"
+    if elapsed_sec > retry_budget_sec:
+        return True, "budget"
+    return False, "retry"
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -79,6 +103,14 @@ def main() -> None:
 
     spark = get_spark("bench", cores=cores)
     timings: dict[str, float] = {}
+
+    floor_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH", "quiet_floor.json")
+    try:
+        with open(floor_path) as f:
+            floors: dict[str, float] = json.load(f)
+    except (OSError, ValueError):
+        floors = {}
+    floors_dirty = False
 
     # --- driver-table headline queries -----------------------------------
     qs = entrymod.queries()
@@ -100,10 +132,35 @@ def main() -> None:
     # start-up (~4s) — r2's tokens_standard "regression" was exactly this
     # (VERDICT r2 what's-wrong #3; scripts/run_scaling.py learned it first)
     qs[headline[0]](spark, sf_dir).write.mode("overwrite").format("noop").save()
+    # Each headline query keeps a per-query quiet floor (key q_{name}_sf{sf})
+    # and retries (bounded best-of) while its best run sits >1.3x that floor:
+    # quiet runs cost nothing, stolen windows get up to 2 more chances within
+    # a shared block budget, and any query still above its floor afterwards
+    # is flagged in headline_stolen rather than silently inflated (r4's
+    # round-over-round table was exactly that failure, uniformly 1.5-2.3x).
+    headline_t0 = time.time()
+    headline_retries = 0
+    headline_stolen: list[str] = []
     for name in headline:
-        t0 = time.time()
-        qs[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
-        timings[name] = round(time.time() - t0, 3)
+        qkey = f"q_{name}_sf{sf}"
+        qfloor = floors.get(qkey)
+        runs: list[float] = []
+        while True:
+            t0 = time.time()
+            qs[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
+            runs.append(round(time.time() - t0, 3))
+            done, _ = headline_retry_decision(runs, qfloor, time.time() - headline_t0)
+            if done:
+                break
+            headline_retries += 1
+        best = min(runs)
+        timings[name] = best
+        if qfloor is not None and best > 1.3 * qfloor:
+            headline_stolen.append(name)
+        new_qfloor = round(min(qfloor, best) if qfloor is not None else best, 3)
+        if floors.get(qkey) != new_qfloor:
+            floors[qkey] = new_qfloor
+            floors_dirty = True
 
     # --- flagship ER pipeline over the synthetic interleaved table --------
     n_entities = max(int(sf * 200_000), 2_000)
@@ -133,13 +190,6 @@ def main() -> None:
     # carries its own host-weather evidence (probe_walls).
     sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "scripts"))
     from steal_probe import one_probe
-
-    floor_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH", "quiet_floor.json")
-    try:
-        with open(floor_path) as f:
-            floors: dict[str, float] = json.load(f)
-    except (OSError, ValueError):
-        floors = {}
 
     er_trials: list[float] = []
     er_trial_utc: list[str] = []
@@ -171,6 +221,8 @@ def main() -> None:
     new_floor = round(min(floor, t_score) if floor is not None else t_score, 3)
     if floor_key is not None and floors.get(floor_key) != new_floor:
         floors[floor_key] = new_floor
+        floors_dirty = True
+    if floors_dirty:
         try:
             os.makedirs(os.path.dirname(floor_path), exist_ok=True)
             with open(floor_path, "w") as f:
@@ -209,6 +261,11 @@ def main() -> None:
         # reproducible wall (see BENCH/quiet_floor.json)
         "window_stolen": window_stolen,
         "er_stop_reason": stop_reason,
+        # headline-query floor anchoring (same mechanism per-query): number
+        # of bounded best-of retries taken, and any query whose best run
+        # still exceeded 1.3x its persisted per-query quiet floor
+        "headline_retries": headline_retries,
+        "headline_stolen": headline_stolen,
         "pairs_scored": pairs_scored,
         "pairs_scored_per_sec": round(pairs_scored / max(t_score, 1e-9), 1),
     }

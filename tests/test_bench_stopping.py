@@ -83,3 +83,50 @@ def test_floor_anchor_overrides_corroboration_at_any_plateau():
             continue
         stop, _ = bench.er_trial_decision([plateau, plateau * 1.05], R4_FLOOR, elapsed_sec=10.0)
         assert not stop, f"early-stopped on corroborated stolen plateau {plateau}"
+
+
+# --- headline_retry_decision (r5: per-query floor anchoring for the cheap
+# headline queries, which ran single-shot until r5 and so could be silently
+# inflated by a stolen window — r4's round-over-round table showed every
+# headline query uniformly 1.5-2.3x with identical row counts) ------------
+
+
+def test_headline_quiet_run_stops_immediately():
+    """Best run within 1.3x the per-query floor: accept the single shot."""
+    assert bench.headline_retry_decision([1.1], 1.0, elapsed_sec=5.0) == (True, "quiet")
+
+
+def test_headline_no_floor_accepts_first_run():
+    """Fresh query key (no floor yet): the first run seeds the floor, no
+    retry — retries only buy anything relative to a known quiet anchor."""
+    assert bench.headline_retry_decision([3.7], None, elapsed_sec=5.0) == (True, "quiet")
+
+
+def test_headline_stolen_run_retries():
+    """Best run >1.3x floor with retries and budget left: go again."""
+    stop, reason = bench.headline_retry_decision([2.6], 1.0, elapsed_sec=5.0)
+    assert not stop
+    assert reason == "retry"
+
+
+def test_headline_retry_recovers_quiet_window():
+    """A stolen first run followed by a quiet second: the quiet branch wins
+    (best-of semantics — min(runs) is what the caller reports)."""
+    assert bench.headline_retry_decision([2.6, 1.05], 1.0, elapsed_sec=8.0) == (True, "quiet")
+
+
+def test_headline_max_runs_caps_retries():
+    """Three stolen runs exhaust the per-query cap; caller flags the query
+    in headline_stolen rather than retrying forever."""
+    stop, reason = bench.headline_retry_decision([2.6, 2.8, 2.5], 1.0, elapsed_sec=20.0)
+    assert stop
+    assert reason == "max_runs"
+
+
+def test_headline_shared_budget_caps_a_bad_host_day():
+    """Past the shared block budget, even an eligible retry is refused —
+    twelve queries x 3 retries on a stolen host must not run the bench
+    away."""
+    stop, reason = bench.headline_retry_decision([2.6], 1.0, elapsed_sec=121.0)
+    assert stop
+    assert reason == "budget"
