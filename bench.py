@@ -90,6 +90,22 @@ def headline_retry_decision(
     return False, "retry"
 
 
+def er_floor_update(floor: float | None, t_score: float, stop_reason: str) -> float | None:
+    """What (if anything) to persist as the quiet floor after an ER trial
+    loop. An existing floor only ever ratchets DOWN. A fresh key (no floor)
+    is seeded ONLY by the corroborated ``seeded_floor`` arm — a first run on
+    a stolen host whose dispersed trials exhaust the caps must NOT anchor
+    the benchmark to a stolen number forever (every later run would then
+    stop 'at_floor' against noise; code-review r5). Returns the value to
+    persist, or None to leave the key unseeded. Pure for
+    tests/test_bench_stopping.py."""
+    if floor is not None:
+        return round(min(floor, t_score), 3)
+    if stop_reason == "seeded_floor":
+        return round(t_score, 3)
+    return None
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -142,7 +158,10 @@ def main() -> None:
     headline_retries = 0
     headline_stolen: list[str] = []
     for name in headline:
-        qkey = f"q_{name}_sf{sf}"
+        # cores in the key: an 8-core run is legitimately slower than a
+        # 32-core floor — comparing across core counts would mislabel a
+        # quiet correct run as stolen (code-review r5)
+        qkey = f"q_{name}_sf{sf}_c{cores}"
         qfloor = floors.get(qkey)
         runs: list[float] = []
         while True:
@@ -211,15 +230,15 @@ def main() -> None:
         er_trials.append(round(time.time() - t0, 3))
         probe_walls.append(round(one_probe(), 3))
         if floor_key is None:
-            floor_key = f"sf{sf}_pairs{pairs_scored}"
+            floor_key = f"sf{sf}_c{cores}_pairs{pairs_scored}"
             floor = floors.get(floor_key)
         stop, stop_reason = er_trial_decision(er_trials, floor, time.time() - loop_t0)
     t_score = min(er_trials)
     window_stolen = floor is not None and t_score > 1.3 * floor
-    # persist the floor monotonically downward: any quieter observation
-    # becomes the new anchor for future runs
-    new_floor = round(min(floor, t_score) if floor is not None else t_score, 3)
-    if floor_key is not None and floors.get(floor_key) != new_floor:
+    # persist the floor monotonically downward; a fresh key is seeded only
+    # by the corroborated seeded_floor arm (er_floor_update docstring)
+    new_floor = er_floor_update(floor, t_score, stop_reason)
+    if floor_key is not None and new_floor is not None and floors.get(floor_key) != new_floor:
         floors[floor_key] = new_floor
         floors_dirty = True
     if floors_dirty:

@@ -26,6 +26,13 @@ decoders, so a mixed pillow/no-pillow cluster produces identical features
 Reference parity: the reference treats media as opaque refs only
 (merge_machine/es_insert.py stores columns verbatim); decode is an
 extension mandated by the task's multimodal requirement.
+
+Scale note: Up/None/Sub filter rows decode at numpy speed, but Average and
+Paeth rows (the common photo-encoder choices) are inherently left-sequential
+and run a Python loop per byte — fine for CI fixtures and small assets, slow
+for photo-sized PNGs. This module is the CORRECTNESS fallback; production
+executors should ship pillow (the warned stub fallback in ``multimodal``
+already tells operators exactly that), which makes this path vanish.
 """
 
 from __future__ import annotations
@@ -49,11 +56,30 @@ class CorruptImageError(ValueError):
 _PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
 # channels per PNG color type at bit depth 8
 _PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+# decompression-bomb guard: pillow's default MAX_IMAGE_PIXELS warn
+# threshold. A crafted IHDR claiming huge dimensions would otherwise make
+# even the size-bounded inflate allocate gigabytes. (BMP needs no such cap:
+# its pixel data is uncompressed, so a huge claim fails the payload-length
+# check instead.)
+MAX_PIXELS = 178_956_970
 
 
 def looks_like_image(payload: bytes) -> bool:
-    """Cheap magic check: does this payload claim a supported container?"""
-    return payload[:4] == _PNG_MAGIC[:4] or payload[:2] == b"BM"
+    """Cheap magic sniff: does this payload claim ANY common image container
+    (not just the PNG/BMP decode subset)? Used by ``multimodal`` to keep
+    decode_ok consistent across mixed pillow/no-pillow clusters: a payload
+    with a real image magic that this decoder can't handle stubs WITH a
+    warning (a pillow worker would decode it), while a payload with no image
+    magic at all (audio blob, random bytes) is decode_ok=False everywhere
+    (pillow would reject it too)."""
+    return (
+        payload[:4] == _PNG_MAGIC[:4]
+        or payload[:2] == b"BM"
+        or payload[:3] == b"\xff\xd8\xff"  # JPEG
+        or payload[:6] in (b"GIF87a", b"GIF89a")
+        or (payload[:4] == b"RIFF" and payload[8:12] == b"WEBP")
+        or payload[:4] in (b"II*\x00", b"MM\x00*")  # TIFF
+    )
 
 
 def decode(payload: bytes) -> tuple[np.ndarray, int, int]:
@@ -91,6 +117,8 @@ def _decode_png(payload: bytes) -> tuple[np.ndarray, int, int]:
     width, height, depth, color_type, comp, filt, interlace = struct.unpack(">IIBBBBB", ihdr[:13])
     if width == 0 or height == 0:
         raise CorruptImageError("zero dimension")
+    if width * height > MAX_PIXELS:
+        raise CorruptImageError(f"image exceeds pixel limit ({width}x{height} > {MAX_PIXELS}px)")
     if comp != 0 or filt != 0:
         raise CorruptImageError("bad IHDR compression/filter method")
     if interlace != 0:
@@ -98,12 +126,19 @@ def _decode_png(payload: bytes) -> tuple[np.ndarray, int, int]:
     if depth != 8 or color_type not in _PNG_CHANNELS:
         raise UnsupportedImageError(f"PNG depth={depth} color_type={color_type} not supported")
     channels = _PNG_CHANNELS[color_type]
+    stride = width * channels
+    expected = height * (1 + stride)
+    # bound the inflate by the exact size IHDR promises (+1 to detect
+    # oversize): an unbounded zlib.decompress on a crafted IDAT claiming
+    # huge dimensions would try to materialize ~1000x the compressed bytes
+    # and OOM-kill the worker before the size check below ever ran
     try:
-        raw = zlib.decompress(b"".join(idat))
+        d = zlib.decompressobj()
+        raw = d.decompress(b"".join(idat), expected + 1)
     except zlib.error as e:
         raise CorruptImageError(f"IDAT inflate failed: {e}") from e
-    stride = width * channels
-    if len(raw) != height * (1 + stride):
+    if len(raw) != expected:
+        # oversize streams hit the +1 allowance and land at expected+1
         raise CorruptImageError("decompressed size mismatch")
 
     out = np.empty((height, stride), dtype=np.uint8)
@@ -116,22 +151,31 @@ def _decode_png(payload: bytes) -> tuple[np.ndarray, int, int]:
             pass
         elif ftype == 2:  # Up
             row += prev
-        elif ftype == 1:  # Sub (sequential in-row dependence)
-            for x in range(bpp, stride):
-                row[x] = (int(row[x]) + int(row[x - bpp])) & 0xFF
-        elif ftype == 3:  # Average
+        elif ftype == 1:
+            # Sub: row[x] += row[x-bpp] is a per-channel prefix sum mod 256
+            # — fully vectorized (the common photo filters 1/4 are the slow
+            # path of a pure-Python decoder; see the module note on scale)
+            row = (
+                row.reshape(width, channels).astype(np.int64).cumsum(axis=0) & 0xFF
+            ).astype(np.uint8).reshape(-1)
+        elif ftype == 3:  # Average (sequential left-dependence; list loop
+            # beats numpy scalar indexing ~4x)
+            rl, pl = row.tolist(), prev.tolist()
             for x in range(stride):
-                left = int(row[x - bpp]) if x >= bpp else 0
-                row[x] = (int(row[x]) + ((left + int(prev[x])) >> 1)) & 0xFF
-        elif ftype == 4:  # Paeth
+                left = rl[x - bpp] if x >= bpp else 0
+                rl[x] = (rl[x] + ((left + pl[x]) >> 1)) & 0xFF
+            row = np.array(rl, dtype=np.uint8)
+        elif ftype == 4:  # Paeth (sequential left-dependence)
+            rl, pl = row.tolist(), prev.tolist()
             for x in range(stride):
-                a = int(row[x - bpp]) if x >= bpp else 0
-                b = int(prev[x])
-                c = int(prev[x - bpp]) if x >= bpp else 0
+                a = rl[x - bpp] if x >= bpp else 0
+                b = pl[x]
+                c = pl[x - bpp] if x >= bpp else 0
                 p = a + b - c
                 pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
                 pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
-                row[x] = (int(row[x]) + pred) & 0xFF
+                rl[x] = (rl[x] + pred) & 0xFF
+            row = np.array(rl, dtype=np.uint8)
         else:
             raise CorruptImageError(f"bad PNG filter type {ftype}")
         out[y] = row

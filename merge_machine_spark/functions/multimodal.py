@@ -13,15 +13,20 @@ batch shape, UDF signatures) real and tested. Decoding is two-path:
   over the decoded pixels, and both decoders are lossless-exact for the
   formats miniimage supports, so a mixed pillow/no-pillow cluster produces
   bit-identical features for PNG/BMP payloads.
-- **stub fallback**: no payload, or a payload format neither decoder
-  handles (e.g. JPEG without pillow) — a deterministic pseudo-feature from
-  the ref hash, same schema and batch shape, so pipelines and tests are
-  reproducible everywhere. Falling back WITH bytes present warns once per
-  worker process (mirrors the similarity.py duckdb-JW fallback pattern):
+- **stub fallback**: no payload, or (pillow-less worker only) a payload
+  whose magic claims a real image format outside the built-in PNG/BMP
+  subset (e.g. JPEG) — a deterministic pseudo-feature from the ref hash,
+  same schema and batch shape, so pipelines and tests are reproducible
+  everywhere. Falling back WITH bytes present warns once per worker
+  process (mirrors the similarity.py duckdb-JW fallback pattern):
   silently swapping real features for hash features on a mixed-env cluster
-  would corrupt dedup results. Bytes that claim PNG/BMP but are corrupt get
-  an honest ``decode_ok=False`` row on either decoder, never a task
-  failure.
+  would corrupt dedup results. Payloads with NO recognizable image magic
+  (audio blobs, random bytes) and bytes that claim PNG/BMP but are corrupt
+  get an honest ``decode_ok=False`` row on EITHER decode path — task
+  placement on a mixed cluster cannot flip a ref's inclusion in
+  ``media_dedup_pairs``. (Residual known divergence: a corrupt body behind
+  a valid non-PNG/BMP magic stubs on a pillow-less worker but fails under
+  pillow — undetectable without a full decode.)
 
 Pattern: ``mapInPandas`` over batches so each task holds only one Arrow
 batch of media bytes in memory (never collect; never per-row Python UDFs).
@@ -169,8 +174,19 @@ def extract_media_features(
                         try:
                             vec, w, h = _decode_image_bytes(bytes(payload), Image)
                         except miniimage.UnsupportedImageError:
-                            # format outside the built-in PNG/BMP subset and
-                            # no pillow in this worker: warned stub fallback
+                            # pillow-less worker, format outside the built-in
+                            # PNG/BMP subset. Keep decode_ok consistent with
+                            # what a pillow worker would say: a payload with a
+                            # real image magic (JPEG/GIF/WebP/TIFF/...) would
+                            # decode there -> warned stub, decode_ok=True; a
+                            # payload with no image magic at all (audio blob,
+                            # random bytes) would fail there too -> honest
+                            # decode_ok=False on BOTH paths. (Residual known
+                            # divergence: a corrupt body behind a valid
+                            # non-PNG/BMP magic stubs here but fails under
+                            # pillow — undetectable without a full decode.)
+                            if not miniimage.looks_like_image(bytes(payload)):
+                                raise
                             _warn_pil_fallback()
                             vec, w, h = _decode_stub(ref)
                     else:

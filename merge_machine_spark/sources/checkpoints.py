@@ -107,6 +107,30 @@ class StageStore:
                 spark.sql(f"CREATE NAMESPACE IF NOT EXISTS {self.catalog}.{self.run_id}")
                 df.writeTo(name).using("iceberg").createOrReplace()
             except Exception as e:
+                # only a missing-runtime failure gets the jar/catalog hint;
+                # anything else (S3 flake, quota, AnalysisException from the
+                # DataFrame itself) must surface as what it is — blanket
+                # misattribution sends operators down a config-debugging
+                # path for an unrelated error (code-review r5)
+                msg = str(e)
+                runtime_missing = any(
+                    marker in msg
+                    for marker in (
+                        "ClassNotFoundException",
+                        "NoClassDefFoundError",
+                        "Cannot find catalog plugin",
+                        "CATALOG_NOT_FOUND",
+                        # an unconfigured catalog name falls through to
+                        # spark_catalog, which rejects the 2-part namespace
+                        # {catalog}.{run_id} with this error class
+                        "REQUIRES_SINGLE_PART_NAMESPACE",
+                        "is not a valid Spark SQL Data Source",
+                        "Failed to find the data source: iceberg",
+                        "DATA_SOURCE_NOT_FOUND",
+                    )
+                )
+                if not runtime_missing:
+                    raise
                 raise RuntimeError(
                     f"Iceberg stage write failed for {name}. This session has no "
                     "usable Iceberg runtime: add the iceberg-spark-runtime jar and "

@@ -226,7 +226,12 @@ def write_report(n_entities: int, n: int, n4: int, runs: dict, trials: int) -> N
             # SAME configuration appends a distinct history entry instead of
             # clobbering the earlier round's raw trials (ADVICE r4)
             stamp = str(prev.get("generated_utc", "?")).replace(" ", "T")
-            tag = f"prev_{prev.get('n_entities', '?')}ent_{n}v{n4}_{stamp}"
+            # the archived entry must carry the PRIOR run's level pair, not
+            # the current one (a 2v8 report archived during a 1v4 run was
+            # being tagged 1v4 — code-review r5); legacy reports without a
+            # levels field fall back to "?"
+            prev_levels = prev.get("levels", "?")
+            tag = f"prev_{prev.get('n_entities', '?')}ent_{prev_levels}_{stamp}"
             history[tag] = {k: v for k, v in prev.items() if k != "all_runs"}
             history[tag + "_all_runs"] = prev.get("all_runs", {})
         except Exception:
@@ -234,6 +239,7 @@ def write_report(n_entities: int, n: int, n4: int, runs: dict, trials: int) -> N
 
     report = {
         "n_entities": n_entities,
+        "levels": f"{n}v{n4}",
         "trials_per_level": trials,
         f"N(cores={n})": best_n,
         f"4N(cores={n4})": best_4n,

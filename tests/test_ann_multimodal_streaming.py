@@ -356,3 +356,26 @@ def test_lambda_loop_batch_reresolve_merges_stream_split(spark, tmp_path):
     assert len(set(batch_assign.values())) == 1
     assert set(batch_assign.values()) == {"a1"}
     assert batch_assign != stream_assign
+
+
+def test_media_non_image_payload_is_not_ok_even_without_pillow(spark):
+    """A payload with NO recognizable image magic (audio blob, random
+    bytes) must be decode_ok=False on the pillow-less path too — pillow
+    would reject it as well, so task placement on a mixed cluster cannot
+    flip the ref's inclusion in media_dedup_pairs (code-review r5). Only
+    payloads whose magic claims a real image format outside the PNG/BMP
+    subset take the warned stub."""
+    try:
+        import PIL  # noqa: F401
+
+        pytest.skip("dispatch under test is the no-pillow branch")
+    except ImportError:
+        pass
+    docs = _one_media_doc(spark)
+    audio_blob = b"RIFF\x24\x00\x00\x00WAVEfmt " + b"\x00" * 32  # WAV, not WEBP
+    store = spark.createDataFrame(
+        [("img://a", bytearray(audio_blob))], "media_ref string, media_bytes binary"
+    )
+    row = extract_media_features(docs, media_store=store).collect()[0]
+    assert not row["decode_ok"]
+    assert row["feature"] is None

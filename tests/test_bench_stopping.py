@@ -130,3 +130,28 @@ def test_headline_shared_budget_caps_a_bad_host_day():
     stop, reason = bench.headline_retry_decision([2.6], 1.0, elapsed_sec=121.0)
     assert stop
     assert reason == "budget"
+
+
+# --- er_floor_update (r5 code-review: a fresh key must not be seeded from
+# dispersed cap-exhausted trials, and an existing floor only ratchets down) -
+
+
+def test_floor_ratchets_down_on_quieter_observation():
+    assert bench.er_floor_update(14.8, 12.595, "at_floor") == 12.595
+
+
+def test_floor_never_moves_up():
+    assert bench.er_floor_update(12.595, 31.1, "max_trials_exhausted") == 12.595
+
+
+def test_fresh_key_seeded_only_by_corroborated_arm():
+    assert bench.er_floor_update(None, 20.0, "seeded_floor") == 20.0
+
+
+def test_fresh_key_not_seeded_from_dispersed_stolen_trials():
+    """First run on a new sf on a stolen host: 7 dispersed trials exhaust
+    the cap without corroborating — persisting min=50s would anchor the
+    benchmark to a stolen number forever (every later quiet run would stop
+    'at_floor' against noise)."""
+    assert bench.er_floor_update(None, 50.0, "max_trials_exhausted") is None
+    assert bench.er_floor_update(None, 50.0, "wall_budget_exhausted") is None

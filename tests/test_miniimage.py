@@ -230,3 +230,57 @@ def test_feature_identical_across_png_and_bmp_encodings():
     assert (w1, h1) == (w2, h2) == (7, 10)
     assert np.array_equal(v_png, v_bmp)
     assert abs(float(np.linalg.norm(v_png)) - 1.0) < 1e-6
+
+
+def test_looks_like_image_magic_sniff():
+    """The sniff must recognise the common real-image containers (so a
+    pillow-less worker stubs them consistently with pillow decoding them)
+    and reject non-image payloads (so both environments agree on
+    decode_ok=False)."""
+    from merge_machine_spark.functions.miniimage import looks_like_image
+
+    assert looks_like_image(b"\x89PNG\r\n\x1a\n" + b"\x00" * 8)
+    assert looks_like_image(b"BM" + b"\x00" * 52)
+    assert looks_like_image(b"\xff\xd8\xff\xe0" + b"\x00" * 8)  # JPEG
+    assert looks_like_image(b"GIF89a" + b"\x00" * 8)
+    assert looks_like_image(b"RIFF\x00\x00\x00\x00WEBP" + b"\x00" * 8)
+    assert looks_like_image(b"II*\x00" + b"\x00" * 8)  # TIFF LE
+    assert looks_like_image(b"MM\x00*" + b"\x00" * 8)  # TIFF BE
+    assert not looks_like_image(b"RIFF\x00\x00\x00\x00WAVEfmt ")  # WAV audio
+    assert not looks_like_image(b"ID3\x04" + b"\x00" * 8)  # MP3
+    assert not looks_like_image(b"random bytes, not an image")
+    assert not looks_like_image(b"")
+
+
+def test_png_decompression_bomb_is_bounded():
+    """A tiny IDAT claiming huge dimensions must raise CorruptImageError
+    from the bounded inflate, not materialize gigabytes (code-review r5:
+    unbounded zlib.decompress would OOM-kill the worker before the size
+    check ran)."""
+    import struct
+    import zlib
+
+    from merge_machine_spark.functions.miniimage import CorruptImageError, decode
+
+    def chunk(ctype, data):
+        return struct.pack(">I", len(data)) + ctype + data + struct.pack(">I", zlib.crc32(ctype + data))
+
+    # IHDR claims 50000x50000 (2.5e9 px): rejected by the MAX_PIXELS cap
+    # before any inflate is attempted
+    ihdr = struct.pack(">IIBBBBB", 50000, 50000, 8, 2, 0, 0, 0)
+    idat = zlib.compress(b"\x00" * 1000, 9)
+    payload = (
+        b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr) + chunk(b"IDAT", idat) + chunk(b"IEND", b"")
+    )
+    with pytest.raises(CorruptImageError, match="pixel limit"):
+        decode(payload)
+
+    # and below the cap, a stream inflating PAST the promised size is cut
+    # off by the bounded decompressobj (expected+1) and flagged corrupt
+    ihdr2 = struct.pack(">IIBBBBB", 4, 4, 8, 2, 0, 0, 0)  # expects 52 bytes
+    idat2 = zlib.compress(b"\x00" * 100_000, 9)
+    payload2 = (
+        b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr2) + chunk(b"IDAT", idat2) + chunk(b"IEND", b"")
+    )
+    with pytest.raises(CorruptImageError, match="size mismatch"):
+        decode(payload2)
