@@ -847,6 +847,25 @@ def q_ann_lsh_top3(spark, sf_dir):
     return lsh_topk(q, c, k=3, n_planes=8, dim=64, n_tables=2, n_probes=2, max_bucket=4096)
 
 
+def q_ann_ivf_top3(spark, sf_dir):
+    """IVF ANN (coarse k-means quantizer, nprobe cell probing) over
+    embeddings — the second mandated scale path next to LSH: data-adaptive
+    cells follow the actual embedding distribution where hyperplanes are
+    oblivious to it (rows-only; recall@k + bit-determinism are
+    pytest-verified; GOLDEN-ORACLED: tests/golden/ann_ivf_top3_sf0001.parquet
+    pins the exact sf0.001 top-3 table, regenerable byte-stably via
+    scripts/gen_golden_lsh.py — seeded xxhash64 centroids + fixed-point
+    Lloyd sums make the quantizer itself deterministic)."""
+    from pyspark.sql import functions as F
+
+    from merge_machine_spark.operators.ann import ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    q = emb.filter(F.col("vec_id") < 10)
+    c = emb.filter(F.col("vec_id") >= 10)
+    return ivf_topk(q, c, k=3, k_coarse=8, nprobe=3, iters=2, max_cell=65536)
+
+
 def q_french_analyzer_tokens(spark, sf_dir):
     """F2/F3 French analyzer over driver text (rows-only; golden-token pytest
     covers exact semantics)."""
@@ -981,6 +1000,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "french_analyzer_tokens": q_french_analyzer_tokens,
         "ann_lsh_top3": q_ann_lsh_top3,
+        "ann_ivf_top3": q_ann_ivf_top3,
     }
 
 

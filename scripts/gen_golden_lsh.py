@@ -92,6 +92,20 @@ def ann_fingerprint() -> str:
     )
 
 
+def ivf_fingerprint() -> str:
+    import __spark_entry__ as entrymod
+    from merge_machine_spark.operators import ann as ANN
+
+    return _source_fingerprint(
+        [
+            entrymod.q_ann_ivf_top3,
+            ANN.ivf_topk,
+            ANN.ivf_train_centroids,
+            ANN._nearest_cells,
+        ]
+    )
+
+
 def build_minhash_table(spark) -> pa.Table:
     """Run the live minhash_lsh_pairs query at sf0.001 and canonicalize to
     the golden layout: (id_a, id_b) sorted, source fingerprint in metadata."""
@@ -126,6 +140,27 @@ def build_ann_table(spark) -> pa.Table:
     return table.replace_schema_metadata({SOURCE_META_KEY: ann_fingerprint().encode()})
 
 
+def build_ivf_table(spark) -> pa.Table:
+    """Run the live ann_ivf_top3 query at sf0.001 and canonicalize to the
+    golden layout: (q_id, rank, c_id, cos) sorted, fingerprint in metadata.
+    Byte-stability rests on the quantizer's determinism: xxhash64-seeded
+    centroids, fixed-point long Lloyd sums (associative regardless of
+    shuffle combine order), tie-broken windows."""
+    import __spark_entry__ as entrymod
+
+    arows = sorted(
+        (r["q_id"], r["rank"], r["c_id"], r["cos"])
+        for r in entrymod.queries()["ann_ivf_top3"](spark, SF_DIR).collect()
+    )
+    table = pa.table({
+        "q_id": pa.array([r[0] for r in arows], pa.int64()),
+        "rank": pa.array([r[1] for r in arows], pa.int32()),
+        "c_id": pa.array([r[2] for r in arows], pa.int64()),
+        "cos": pa.array([r[3] for r in arows], pa.float64()),
+    })
+    return table.replace_schema_metadata({SOURCE_META_KEY: ivf_fingerprint().encode()})
+
+
 def write_golden(table: pa.Table, path: str) -> None:
     """Fixed writer settings — any byte drift between regenerations must come
     from the data or the fingerprint, never the container encoding."""
@@ -147,6 +182,11 @@ def main() -> None:
     ann_path = os.path.join(GOLDEN_DIR, "ann_lsh_top3_sf0001.parquet")
     write_golden(ann, ann_path)
     print(f"ann_lsh_top3: {ann.num_rows} rows sha256={sha256_file(ann_path)}")
+
+    ivf = build_ivf_table(spark)
+    ivf_path = os.path.join(GOLDEN_DIR, "ann_ivf_top3_sf0001.parquet")
+    write_golden(ivf, ivf_path)
+    print(f"ann_ivf_top3: {ivf.num_rows} rows sha256={sha256_file(ivf_path)}")
     spark.stop()
 
 

@@ -379,3 +379,65 @@ def test_media_non_image_payload_is_not_ok_even_without_pillow(spark):
     row = extract_media_features(docs, media_store=store).collect()[0]
     assert not row["decode_ok"]
     assert row["feature"] is None
+
+
+# -- IVF ANN (second mandated scale path next to LSH) -------------------------
+
+
+def test_ivf_train_returns_exactly_k_centroids(spark, vectors):
+    from merge_machine_spark.operators.ann import ivf_train_centroids
+
+    cent = ivf_train_centroids(vectors, k_coarse=8, iters=2)
+    rows = cent.collect()
+    assert sorted(r["centroid_id"] for r in rows) == list(range(8))
+    dim = len(vectors.first()["embedding"])
+    assert all(len(r["cvec"]) == dim for r in rows)
+
+
+def test_ivf_topk_recall_on_clustered_corpus(spark, vectors):
+    """The fixture is 20 jittered clusters — exactly the distribution IVF's
+    data-adaptive cells should exploit. With nprobe=4 of 8 cells, recall@3
+    against brute force must be high."""
+    from merge_machine_spark.operators.ann import brute_force_topk, ivf_topk, recall_at_k
+
+    # queries drawn FROM corpus clusters (vec_id 10-19 = clusters 2-3, whose
+    # jittered mates are all in the corpus): their true neighbors live in
+    # the query's own cell, the case IVF is built for. Querying vectors
+    # whose cluster is absent from the corpus (vec_id < 10 here) is the
+    # adversarial scattered-neighbor case where only high nprobe helps.
+    q = vectors.filter((F.col("vec_id") >= 10) & (F.col("vec_id") < 20))
+    c = vectors.filter(F.col("vec_id") >= 10)
+    exact = brute_force_topk(q, c, k=3)
+    approx = ivf_topk(q, c, k=3, k_coarse=8, nprobe=4, iters=2)
+    rec = recall_at_k(exact, approx, k=3)
+    assert rec >= 0.8, f"IVF recall@3 too low: {rec}"
+
+
+def test_ivf_topk_deterministic_across_runs(spark, vectors):
+    """Bit-determinism contract (golden-oracle prerequisite): seeded
+    xxhash64 centroids + fixed-point Lloyd sums + tie-broken windows must
+    give the identical result table on repeated evaluation."""
+    from merge_machine_spark.operators.ann import ivf_topk
+
+    q = vectors.filter(F.col("vec_id") < 10)
+    c = vectors.filter(F.col("vec_id") >= 10)
+    r1 = sorted((r["q_id"], r["rank"], r["c_id"], r["cos"]) for r in ivf_topk(q, c, k=3, k_coarse=8, nprobe=3).collect())
+    r2 = sorted((r["q_id"], r["rank"], r["c_id"], r["cos"]) for r in ivf_topk(q, c, k=3, k_coarse=8, nprobe=3).collect())
+    assert r1 == r2
+
+
+def test_ivf_max_cell_cap_reports_drops(spark):
+    """A degenerate corpus (every embedding identical) collapses into one
+    cell; with max_cell below its size the cell is dropped and REPORTED,
+    never silently scanned quadratically."""
+    from merge_machine_spark.operators.ann import ivf_topk
+
+    rows = [(i, [1.0, 0.0, 0.0, 0.0]) for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    q = df.filter(F.col("vec_id") < 2)
+    c = df.filter(F.col("vec_id") >= 2)
+    report = {}
+    out = ivf_topk(q, c, k=3, k_coarse=4, nprobe=2, max_cell=10, report=report)
+    assert out.count() == 0  # the only populated cell was dropped
+    assert report["cells_dropped"] >= 1
+    assert report["dropped_mass"] >= 38

@@ -89,6 +89,30 @@ def test_ann_lsh_top3_matches_golden(spark, entrymod):
         assert a == pytest.approx(b, abs=1e-12)
 
 
+def test_ann_ivf_top3_matches_golden(spark, entrymod):
+    golden = pq.read_table(os.path.join(GOLDEN_DIR, "ann_ivf_top3_sf0001.parquet"))
+    assert _stored_fingerprint(golden) == G.ivf_fingerprint(), (
+        "ANN-IVF generator source changed since the golden was written — "
+        "if the algorithm change is intended, regenerate consciously with "
+        "scripts/gen_golden_lsh.py and review the top-k diff"
+    )
+    expected = sorted(
+        zip(
+            golden["q_id"].to_pylist(),
+            golden["rank"].to_pylist(),
+            golden["c_id"].to_pylist(),
+            golden["cos"].to_pylist(),
+        )
+    )
+    got = sorted(
+        (r["q_id"], r["rank"], r["c_id"], r["cos"])
+        for r in entrymod.queries()["ann_ivf_top3"](spark, SF_DIR).collect()
+    )
+    assert [(q, rk, c) for q, rk, c, _ in got] == [(q, rk, c) for q, rk, c, _ in expected]
+    for (_, _, _, a), (_, _, _, b) in zip(got, expected):
+        assert a == pytest.approx(b, abs=1e-12)
+
+
 def test_golden_regeneration_byte_stable(spark, tmp_path):
     """Regenerate BOTH goldens in-session through the checked-in generator
     (same build + writer code paths) and require byte equality with the
@@ -98,6 +122,7 @@ def test_golden_regeneration_byte_stable(spark, tmp_path):
     for build, fname in [
         (G.build_minhash_table, "minhash_lsh_pairs_sf0001.parquet"),
         (G.build_ann_table, "ann_lsh_top3_sf0001.parquet"),
+        (G.build_ivf_table, "ann_ivf_top3_sf0001.parquet"),
     ]:
         out = tmp_path / fname
         G.write_golden(build(spark), str(out))
