@@ -177,11 +177,14 @@ def ivf_train_centroids(
     sample with no driver-side randomness — TakeOrderedAndProject, never a
     full sort), then ``iters`` Lloyd steps entirely in DataFrame ops:
     assignment is a broadcast cross join + windowed argmin; the centroid
-    mean is recomputed per (cell, component) with FIXED-POINT long sums so
-    the floating-point result is independent of shuffle combine order
-    (bit-determinism is part of the golden-oracle contract). A cell that
-    loses all members keeps its previous centroid (coalesce), so exactly
-    ``k_coarse`` centroids always come back. Each iteration ends in an
+    mean is recomputed per (cell, component) with FIXED-POINT integer sums
+    (per-element long, accumulated as decimal(38,0) so a 10^12-member cell
+    cannot overflow the sum) so the floating-point result is independent of
+    shuffle combine order (bit-determinism is part of the golden-oracle
+    contract). A cell that loses all members keeps its previous centroid
+    (coalesce), so min(k_coarse, corpus rows) centroids always come back —
+    a corpus smaller than ``k_coarse`` yields one centroid per row, never
+    padding. Each iteration ends in an
     eager localCheckpoint: the table is k_coarse rows, and truncating
     lineage there keeps the assignment plan flat instead of re-deriving
     iter-1's shuffle inside iter-2's."""
@@ -201,7 +204,13 @@ def ivf_train_centroids(
             assigned.select("centroid_id", F.posexplode("cv").alias("pos", "val"))
             .groupBy("centroid_id", "pos")
             .agg(
-                F.sum((F.col("val") * _IVF_FIXED_POINT).cast("long")).alias("s"),
+                # per-element fixed-point value fits a long trivially
+                # (|val| <= 1 after normalization => |term| <= 2^24), but the
+                # SUM is decimal(38,0): a long sum wraps silently once a cell
+                # holds ~5e11 members, corrupting the centroid at the 10^12-row
+                # scale this operator targets. decimal keeps the arithmetic
+                # exact-integer, so combine order still cannot change the bits.
+                F.sum((F.col("val") * _IVF_FIXED_POINT).cast("long").cast("decimal(38,0)")).alias("s"),
                 F.count(F.lit(1)).alias("n"),
             )
             .withColumn("comp", F.col("s").cast("double") / (F.col("n") * _IVF_FIXED_POINT))
@@ -249,7 +258,12 @@ def ivf_topk(
     pathological ones (all-zero / boilerplate embeddings collapse into one
     cell exactly like the LSH max_bucket case) with the drop counted into
     ``report``, never silent. Pass a pre-trained ``centroids`` frame to
-    amortize training across calls."""
+    amortize training across calls.
+
+    Contract: ids must be UNIQUE per side. The cell assignment is an argmin
+    window over the id, so a corpus carrying two different embeddings under
+    one id would silently score only one of them (brute_force_topk/lsh_topk
+    score every row) — dedupe or re-key upstream if ids can repeat."""
     if centroids is None:
         centroids = ivf_train_centroids(corpus, k_coarse=k_coarse, iters=iters, id_c=id_c, vec_c=vec_c)
     c = corpus.select(F.col(id_c).alias("c_id"), F.transform(vec_c, lambda x: x.cast("double")).alias("cv"))
@@ -266,11 +280,12 @@ def ivf_topk(
 
     q = queries.select(F.col(id_q).alias("q_id"), F.transform(vec_q, lambda x: x.cast("double")).alias("qv"))
     qcells = _nearest_cells(q, centroids, "q_id", "qv", nprobe=nprobe).select("centroid_id", "q_id", "qv")
-    scored = (
-        qcells.join(cells_ok, "centroid_id")
-        .select("q_id", "c_id", cosine_embeddings(F.col("qv"), F.col("cv")).alias("cos"))
-        .groupBy("q_id", "c_id")
-        .agg(F.max("cos").alias("cos"))
+    # no (q_id, c_id) dedup needed, unlike lsh_topk's multi-table union: each
+    # corpus id lives in exactly one cell (nprobe=1 argmin) and a query's
+    # probed centroid_ids are distinct, so the join can't duplicate a pair —
+    # a groupBy here would be a full extra shuffle for nothing
+    scored = qcells.join(cells_ok, "centroid_id").select(
+        "q_id", "c_id", cosine_embeddings(F.col("qv"), F.col("cv")).alias("cos")
     )
     w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("c_id"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

@@ -56,8 +56,12 @@ def sha256_file(path: str) -> str:
 
 def _source_fingerprint(funcs) -> str:
     """sha256 over the concatenated ``inspect.getsource`` of the functions
-    that generate a golden, in a fixed order — the golden's version tag."""
-    blob = "\n".join(inspect.getsource(f) for f in funcs)
+    that generate a golden, in a fixed order — the golden's version tag.
+    Plain strings pass through verbatim: value-affecting module CONSTANTS
+    (e.g. the IVF fixed-point scale) live outside any function's source and
+    must be versioned explicitly or editing them would skip the
+    regenerate-consciously guard and surface as a raw value mismatch."""
+    blob = "\n".join(f if isinstance(f, str) else inspect.getsource(f) for f in funcs)
     return hashlib.sha256(blob.encode("utf-8")).hexdigest()
 
 
@@ -88,6 +92,7 @@ def ann_fingerprint() -> str:
             ANN.lsh_topk,
             ANN.hyperplane_bucket,
             ANN._hyperplane_sign,
+            ANN.cosine_embeddings,
         ]
     )
 
@@ -102,6 +107,8 @@ def ivf_fingerprint() -> str:
             ANN.ivf_topk,
             ANN.ivf_train_centroids,
             ANN._nearest_cells,
+            ANN.cosine_embeddings,
+            f"_IVF_FIXED_POINT={ANN._IVF_FIXED_POINT!r}",
         ]
     )
 
