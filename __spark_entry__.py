@@ -866,6 +866,46 @@ def q_ann_ivf_top3(spark, sf_dir):
     return ivf_topk(q, c, k=3, k_coarse=8, nprobe=3, iters=2, max_cell=65536)
 
 
+def q_embedding_near_dup(spark, sf_dir):
+    """Training-data op the mandate names next to MinHash/SimHash:
+    embedding-cosine near-dup dedup — threshold pairs -> connected
+    components -> (vec_id, group_id, group_size), every vector present,
+    group_id = min member id, singletons outside the CC shuffle. The
+    contract runs the exact all-pairs plan so DuckDB oracles it end-to-end
+    (recursive-CTE min propagation); the LSH-bucketed scale path shares the
+    grouping code and is recall-pinned on planted near-dups in
+    tests/test_ann_multimodal_streaming.py. Scores quantize to
+    floor(1000*cos) BEFORE the threshold compare, so the Spark/DuckDB
+    boundary decision is integer-exact. The synthetic embeddings hold no
+    true near-dups (max pair cosine ~0.51), so the contract threshold sits
+    at the ~99.9th percentile (0.35) to exercise real group structure."""
+    from merge_machine_spark.operators.ann import near_dup_groups
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return near_dup_groups(emb, threshold_e3=350, method="exact")
+
+
+SQL_EMB_NEAR_DUP = """
+WITH RECURSIVE
+p AS (
+  SELECT a.vec_id AS u, b.vec_id AS v
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+  WHERE CAST(floor((list_dot_product(a.embedding, b.embedding) /
+          (sqrt(list_dot_product(a.embedding, a.embedding)) *
+           sqrt(list_dot_product(b.embedding, b.embedding)))) * 1000) AS BIGINT) >= 350),
+und AS (SELECT u AS n, v AS m FROM p UNION SELECT v, u FROM p),
+reach(n, r) AS (
+  SELECT n, n FROM (SELECT DISTINCT n FROM und)
+  UNION
+  SELECT und.n, reach.r FROM und JOIN reach ON und.m = reach.n),
+grouped AS (SELECT n AS vec_id, min(r) AS group_id FROM reach GROUP BY n),
+allv AS (
+  SELECT e.vec_id, coalesce(g.group_id, e.vec_id) AS group_id
+  FROM embeddings e LEFT JOIN grouped g ON e.vec_id = g.vec_id)
+SELECT vec_id, group_id, count(*) OVER (PARTITION BY group_id) AS group_size FROM allv
+"""
+
+
 def q_french_analyzer_tokens(spark, sf_dir):
     """F2/F3 French analyzer over driver text (rows-only; golden-token pytest
     covers exact semantics)."""
@@ -1001,6 +1041,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "french_analyzer_tokens": q_french_analyzer_tokens,
         "ann_lsh_top3": q_ann_lsh_top3,
         "ann_ivf_top3": q_ann_ivf_top3,
+        "embedding_near_dup": q_embedding_near_dup,
     }
 
 
@@ -1037,4 +1078,5 @@ def oracle_sql() -> dict[str, str]:
         "must_filter_phrase": SQL_MUST_PHRASE,
         "majority_vote_user": SQL_MAJORITY_VOTE,
         "media_stub_meta": SQL_MEDIA_STUB,
+        "embedding_near_dup": SQL_EMB_NEAR_DUP,
     }

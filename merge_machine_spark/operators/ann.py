@@ -298,3 +298,108 @@ def recall_at_k(exact: DataFrame, approx: DataFrame, k: int = 10) -> float:
     hit = e.join(a, ["q_id", "c_id"], "left_semi").count()
     total = e.count()
     return hit / total if total else 1.0
+
+
+# -- Embedding-cosine near-duplicate detection --------------------------------
+# Training-data-pipeline addition (task mandate names "embedding-cosine
+# near-dup" next to MinHash/SimHash): pairs above a cosine threshold,
+# resolved transitively into dedup groups.
+
+
+def near_dup_pairs(
+    emb: DataFrame,
+    threshold_e3: int = 900,
+    method: str = "exact",
+    n_planes: int = 8,
+    dim: int = 64,
+    n_tables: int = 4,
+    max_bucket: int = 4096,
+    report: dict | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Self-pairs (u_id < v_id) whose cosine clears ``threshold_e3``/1000.
+
+    Scores are emitted quantized — ``cos_e3 = floor(1000 * cos)`` as bigint —
+    so the threshold compare and any downstream hash-equality oracle are
+    float-boundary-proof. Two plans:
+
+    - ``exact``: declared all-pairs baseline (upper-triangle cross join).
+      Correctness anchor and the DuckDB-oracle side; impossible at 10^12
+      rows.
+    - ``lsh``: the scale path — candidates only within shared
+      random-hyperplane buckets (``n_tables`` independent families, same
+      machinery as :func:`lsh_topk`), oversize buckets capped at
+      ``max_bucket`` with the drop counted into ``report``. Each bucket
+      self-joins on (table, bucket); duplicate candidates across tables are
+      collapsed by a (u,v) groupBy BEFORE the threshold filter so the edge
+      set is distinct. Recall vs exact is pytest-pinned on planted
+      near-dups (tests/test_ann_multimodal_streaming.py)."""
+    v = F.transform(vec_col, lambda x: x.cast("double"))
+    if method == "exact":
+        a = emb.select(F.col(id_col).alias("u_id"), v.alias("uv"))
+        b = emb.select(F.col(id_col).alias("v_id"), v.alias("vv"))
+        cand = a.crossJoin(b).filter(F.col("u_id") < F.col("v_id"))
+        scored = cand.select(
+            "u_id", "v_id",
+            F.floor(cosine_embeddings(F.col("uv"), F.col("vv")) * 1000).cast("bigint").alias("cos_e3"),
+        )
+    elif method == "lsh":
+        tables = F.array(
+            *[hyperplane_bucket(v, n_planes, dim, seed_offset=t * n_planes) for t in range(n_tables)]
+        )
+        e = emb.select(F.col(id_col).alias("nid"), v.alias("nv"), F.posexplode(tables).alias("table", "bucket"))
+        sizes = e.groupBy("table", "bucket").agg(F.count(F.lit(1)).alias("bucket_n")).localCheckpoint(eager=True)
+        if report is not None:
+            dropped = sizes.filter(F.col("bucket_n") > max_bucket).agg(
+                F.count(F.lit(1)).alias("n"), F.coalesce(F.sum("bucket_n"), F.lit(0)).alias("mass")
+            ).collect()[0]
+            report["buckets_dropped"] = int(dropped["n"])
+            report["dropped_mass"] = int(dropped["mass"])
+        too_big = sizes.filter(F.col("bucket_n") > max_bucket).select("table", "bucket")
+        e_ok = e.join(F.broadcast(too_big), ["table", "bucket"], "left_anti")
+        lhs = e_ok.select("table", "bucket", F.col("nid").alias("u_id"), F.col("nv").alias("uv"))
+        rhs = e_ok.select("table", "bucket", F.col("nid").alias("v_id"), F.col("nv").alias("vv"))
+        cand = lhs.join(rhs, ["table", "bucket"]).filter(F.col("u_id") < F.col("v_id"))
+        # collapse cross-table duplicates first (cosine is deterministic per
+        # pair, max = the value), THEN threshold — one shuffle on (u,v)
+        scored = (
+            cand.select(
+                "u_id", "v_id",
+                F.floor(cosine_embeddings(F.col("uv"), F.col("vv")) * 1000).cast("bigint").alias("cos_e3"),
+            )
+            .groupBy("u_id", "v_id")
+            .agg(F.max("cos_e3").alias("cos_e3"))
+        )
+    else:
+        raise ValueError(f"unknown near-dup method: {method!r}")
+    return scored.filter(F.col("cos_e3") >= F.lit(int(threshold_e3)))
+
+
+def near_dup_groups(
+    emb: DataFrame,
+    threshold_e3: int = 900,
+    method: str = "exact",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    **pair_kwargs,
+) -> DataFrame:
+    """Transitive near-dup groups: (vec_id, group_id, group_size), every
+    input row present, group_id = min vec_id of its component (singletons
+    keep their own id, never entering the CC shuffle — the
+    ``assignments_with_singletons`` policy). The CC star joins are
+    type-generic (least/greatest/min), so bigint ids pass straight through
+    with numeric min semantics — no lexicographic-padding dance."""
+    from .clustering import connected_components
+
+    pairs = near_dup_pairs(emb, threshold_e3=threshold_e3, method=method,
+                           id_col=id_col, vec_col=vec_col, **pair_kwargs)
+    asg = connected_components(pairs.select(F.col("u_id").alias("id_a"), F.col("v_id").alias("id_b")))
+    asg = asg.select(F.col("doc_id").alias("vec_id"), F.col("cluster_id").alias("group_id"))
+    singles = (
+        emb.select(F.col(id_col).alias("vec_id"))
+        .join(asg.select("vec_id"), "vec_id", "left_anti")
+        .select("vec_id", F.col("vec_id").alias("group_id"))
+    )
+    out = asg.unionByName(singles)
+    return out.withColumn("group_size", F.count(F.lit(1)).over(Window.partitionBy("group_id")))

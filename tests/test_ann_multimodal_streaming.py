@@ -441,3 +441,52 @@ def test_ivf_max_cell_cap_reports_drops(spark):
     assert out.count() == 0  # the only populated cell was dropped
     assert report["cells_dropped"] >= 1
     assert report["dropped_mass"] >= 38
+
+
+# -- embedding-cosine near-dup dedup ------------------------------------------
+
+
+def test_near_dup_exact_recovers_planted_clusters(spark, vectors):
+    from merge_machine_spark.operators.ann import near_dup_groups
+
+    groups = near_dup_groups(vectors, threshold_e3=950, method="exact")
+    rows = {r["vec_id"]: (r["group_id"], r["group_size"]) for r in groups.collect()}
+    # every input vector is present exactly once
+    assert len(rows) == vectors.count()
+    # the 20 planted clusters (blocks of 5 consecutive ids) come back intact:
+    # group_id = min member id = the block start, group_size = 5
+    for vid, (gid, size) in rows.items():
+        assert gid == (vid // 5) * 5, (vid, gid)
+        assert size == 5
+
+
+def test_near_dup_lsh_pairs_subset_and_recall(spark, vectors):
+    from merge_machine_spark.operators.ann import near_dup_pairs
+
+    exact = near_dup_pairs(vectors, threshold_e3=950, method="exact").cache()
+    report = {}
+    lsh = near_dup_pairs(
+        vectors, threshold_e3=950, method="lsh",
+        n_planes=6, dim=16, n_tables=4, report=report,
+    ).cache()
+    n_exact, n_lsh = exact.count(), lsh.count()
+    # LSH candidates are a subset of all pairs, so after the identical
+    # threshold the LSH edge set must be a subset of the exact edge set
+    # (no false positives), with identical quantized scores
+    joined = lsh.join(exact, ["u_id", "v_id", "cos_e3"], "left_semi").count()
+    assert joined == n_lsh, "LSH produced a pair/score the exact plan does not have"
+    assert n_lsh / n_exact >= 0.9, f"near-dup LSH recall too low: {n_lsh}/{n_exact}"
+    # accounting is always reported, never silent
+    assert report["buckets_dropped"] == 0 and report["dropped_mass"] == 0
+    # pair set is distinct even though 4 tables can co-bucket the same pair
+    assert lsh.select("u_id", "v_id").distinct().count() == n_lsh
+
+
+def test_near_dup_singletons_keep_own_group(spark, vectors):
+    from merge_machine_spark.operators.ann import near_dup_groups
+
+    # an impossible threshold isolates everything: every row its own group
+    groups = near_dup_groups(vectors, threshold_e3=1001, method="exact")
+    rows = groups.collect()
+    assert len(rows) == vectors.count()
+    assert all(r["group_id"] == r["vec_id"] and r["group_size"] == 1 for r in rows)
