@@ -61,6 +61,32 @@ mm = fused_pair_features_best_field(
 )
 sections["multi_match best-field tier (greatest over per-column scores)"] = grab(mm)
 
+# ANN scale paths: near-dup LSH bucket self-join and IVF probe join.
+# Deterministic synthetic embeddings (xxhash64-derived), written to parquet
+# so scan pruning is visible.
+from merge_machine_spark.operators.ann import ivf_topk, near_dup_pairs
+
+emb = spark.range(500).select(
+    F.col("id").alias("vec_id"),
+    F.transform(
+        F.sequence(F.lit(0), F.lit(15)),
+        lambda i: (F.pmod(F.xxhash64("id", i), F.lit(1000)).cast("double") - 499.5) / 500.0,
+    ).alias("embedding"),
+)
+emb.write.mode("overwrite").parquet("/tmp/plans_emb")
+emb = spark.read.parquet("/tmp/plans_emb")
+sections[
+    "embedding near-dup, LSH scale path (bucket self-join -> cap anti-join -> one (u,v) shuffle)"
+] = grab(near_dup_pairs(emb, threshold_e3=350, method="lsh", n_planes=8, dim=16, n_tables=2))
+sections[
+    "IVF ANN probe join (broadcast centroids -> argmin cells -> probe-cell hash join)"
+] = grab(
+    ivf_topk(
+        emb.filter(F.col("vec_id") < 10), emb.filter(F.col("vec_id") >= 10),
+        k=3, k_coarse=8, nprobe=2, iters=1, vec_q="embedding", vec_c="embedding",
+    )
+)
+
 out = ["# Physical plans — flagship pipeline (captured via .explain('formatted'))\n"]
 out.append("What to verify in each plan (and what we verified):\n"
            "1. the parquet scan of `spans` prunes to needed nested fields;\n"
@@ -71,7 +97,12 @@ out.append("What to verify in each plan (and what we verified):\n"
            "NB: at the 500-doc demo size AQE auto-broadcasts every small join side,\n"
            "so the shuffle-payload section still shows BroadcastHashJoin; the\n"
            "broadcast_sides=False evidence at scale is the 180k-doc A/B in\n"
-           "BENCH/BASELINE.md.\n")
+           "BENCH/BASELINE.md.\n"
+           "NB2: the ONE SortMergeJoin below (near-dup LSH bucket self-join) is\n"
+           "deliberate and correct at scale: both sides are the corpus-sized\n"
+           "exploded bucket table, so neither can broadcast at 10^12 rows; the\n"
+           "join key (table, bucket) is bounded by the max_bucket cap, so no\n"
+           "merge group explodes. Every OTHER join stays BroadcastHashJoin.\n")
 for name, text in sections.items():
     out.append(f"\n## {name}\n\n```\n{text}\n```\n")
 with open("PLANS.md", "w") as f:
