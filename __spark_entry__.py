@@ -866,6 +866,52 @@ def q_ann_ivf_top3(spark, sf_dir):
     return ivf_topk(q, c, k=3, k_coarse=8, nprobe=3, iters=2, max_cell=65536)
 
 
+def q_winnowing_fingerprints(spark, sf_dir):
+    """Training-data op the mandate names: document fingerprinting via a
+    ROLLING HASH — MOSS winnowing (Schleimer/Wilkerson/Aiken SIGMOD'03):
+    polynomial token/shingle hashes (exact integer mod 1e9+7, so DuckDB
+    mirrors it bit-for-bit), k=3-token shingles, min per w=4 window, full
+    windows only, distinct minima per doc. Complements md5 exact
+    `doc_fingerprint`: any shared run of >= w+k-1 tokens across two docs is
+    guaranteed to share a fingerprint."""
+    from merge_machine_spark.functions.fingerprint import winnowing_fingerprints
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return winnowing_fingerprints(docs, k=3, w=4)
+
+
+SQL_WINNOWING = """
+WITH toks AS (
+  SELECT doc_id,
+         list_transform(
+           list_filter(regexp_split_to_array(lower(coalesce(text,'')), '[^a-z0-9]+'), t -> t <> ''),
+           t -> list_reduce(
+                  list_prepend(CAST(0 AS BIGINT), list_transform(str_split(t, ''), c -> ascii(c))),
+                  (acc, x) -> (acc * 31 + x) % 1000000007)) AS th
+  FROM documents),
+sh AS (
+  SELECT doc_id,
+         CASE WHEN len(th) >= 3 THEN
+           list_transform(range(1, len(th) - 1),
+             i -> (((th[i] * 1000003 + th[i+1]) % 1000000007) * 1000003 + th[i+2]) % 1000000007)
+         ELSE [] END AS sl
+  FROM toks),
+pos AS (
+  SELECT doc_id, u.pos AS pos, u.h AS h FROM (
+    SELECT doc_id, unnest(list_transform(range(1, len(sl) + 1),
+                          i -> struct_pack(pos := i, h := sl[i]))) AS u
+    FROM sh)),
+wm AS (
+  SELECT doc_id, pos,
+         min(h) OVER (PARTITION BY doc_id ORDER BY pos ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin,
+         count(*) OVER (PARTITION BY doc_id) AS n_sh
+  FROM pos),
+fps AS (
+  SELECT DISTINCT doc_id, wmin AS fp FROM wm WHERE pos <= n_sh - 3)
+SELECT doc_id, fp, count(*) OVER (PARTITION BY doc_id) AS doc_fp_count FROM fps
+"""
+
+
 def q_embedding_near_dup(spark, sf_dir):
     """Training-data op the mandate names next to MinHash/SimHash:
     embedding-cosine near-dup dedup — threshold pairs -> connected
@@ -1042,6 +1088,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_top3": q_ann_lsh_top3,
         "ann_ivf_top3": q_ann_ivf_top3,
         "embedding_near_dup": q_embedding_near_dup,
+        "winnowing_fingerprints": q_winnowing_fingerprints,
     }
 
 
@@ -1079,4 +1126,5 @@ def oracle_sql() -> dict[str, str]:
         "majority_vote_user": SQL_MAJORITY_VOTE,
         "media_stub_meta": SQL_MEDIA_STUB,
         "embedding_near_dup": SQL_EMB_NEAR_DUP,
+        "winnowing_fingerprints": SQL_WINNOWING,
     }

@@ -1,0 +1,92 @@
+"""Winnowing document fingerprints (rolling hash + sliding-window minima).
+
+Training-data-pipeline addition (task mandate names "document fingerprinting
+(rolling hash)"): the MOSS winnowing scheme of Schleimer, Wilkerson &
+Aiken, "Winnowing: Local Algorithms for Document Fingerprinting"
+(SIGMOD'03) — hash every k-token shingle with a polynomial rolling hash,
+then keep the minimum hash of every w-long window of consecutive shingle
+hashes. Any shared substring of length >= w + k - 1 tokens between two
+documents is GUARANTEED to share a fingerprint, which makes the selected
+set a principled near-dup / containment signal where plain md5-of-document
+(`doc_fingerprint`) only catches exact duplicates.
+
+Design notes for the Spark/DuckDB oracle pair:
+
+- All hashing is exact 64-bit INTEGER arithmetic (mod 1e9+7), not xxhash64 /
+  md5, so DuckDB replicates it bit-for-bit and the contract query gets a
+  full rows+schema+hash oracle — this is the same "quantize before compare"
+  discipline as the cosine near-dup path.
+- Token hashes are computed once per token (char fold), then shingle hashes
+  combine k token hashes — O(chars + k * shingles) per doc instead of
+  re-folding every shingle's characters (the rolling-hash idea expressed
+  over the token stream).
+- Only FULL windows emit (pos <= n_shingles - w): truncated trailing
+  windows would add suffix-minima the published scheme does not select.
+- The fingerprint is the DISTINCT SET of window minima per document. Not
+  carrying the selected position sidesteps the rightmost-tie rule entirely
+  (equal values collapse in the set) while keeping the winnowing guarantee,
+  which is about values shared between documents.
+- Everything is JVM-side higher-order functions + one window — no UDF, no
+  shuffle beyond the final distinct; at 10^12 docs the per-doc work is
+  embarrassingly parallel and the distinct aggregates locally first.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+MOD = 1_000_000_007  # < 2^30, so acc * base + x stays far inside a long
+CHAR_BASE = 31
+TOKEN_BASE = 1_000_003
+
+
+def _token_hash(tok: Column) -> Column:
+    """Polynomial char fold: acc = (acc * 31 + ascii(char)) mod 1e9+7."""
+    chars = F.filter(F.split(tok, ""), lambda c: c != F.lit(""))
+    return F.aggregate(
+        chars,
+        F.lit(0).cast("long"),
+        lambda acc, c: (acc * F.lit(CHAR_BASE) + F.ascii(c)) % F.lit(MOD),
+    )
+
+
+def winnowing_fingerprints(
+    docs: DataFrame,
+    k: int = 3,
+    w: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, fp, doc_fp_count): distinct winnowed fingerprints per doc.
+
+    ``k``: tokens per shingle; ``w``: shingle-hashes per winnowing window.
+    Docs with fewer than k + w - 1 tokens produce no full window and are
+    absent from the output (they have no robust fingerprint at this k/w —
+    exact dedup via `doc_fingerprint` still covers them)."""
+    txt = F.lower(F.coalesce(F.col(text_col), F.lit("")))
+    toks = F.filter(F.split(txt, "[^a-z0-9]+"), lambda t: t != F.lit(""))
+    thash = F.transform(toks, _token_hash)
+    n = F.size(thash)
+    # shingle hash at i (1-based): fold k consecutive token hashes
+    def shingle_at(i: Column) -> Column:
+        acc = F.element_at(thash, i)
+        for j in range(1, k):
+            acc = (acc * F.lit(TOKEN_BASE) + F.element_at(thash, i + F.lit(j))) % F.lit(MOD)
+        return acc
+
+    shingles = F.when(n >= F.lit(k), F.transform(F.sequence(F.lit(1), n - F.lit(k - 1)), shingle_at)).otherwise(
+        F.array().cast("array<bigint>")
+    )
+    sh = docs.select(F.col(id_col).alias("doc_id"), F.posexplode(shingles).alias("pos", "h"))
+    win = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(Window.currentRow, w - 1)
+    n_win = Window.partitionBy("doc_id")
+    fps = (
+        sh.withColumn("wmin", F.min("h").over(win))
+        .withColumn("n_sh", F.count(F.lit(1)).over(n_win))
+        # full windows only: pos is 0-based from posexplode
+        .filter(F.col("pos") <= F.col("n_sh") - w)
+        .select("doc_id", F.col("wmin").alias("fp"))
+        .distinct()
+    )
+    return fps.withColumn("doc_fp_count", F.count(F.lit(1)).over(Window.partitionBy("doc_id")))
