@@ -912,6 +912,34 @@ SELECT doc_id, fp, count(*) OVER (PARTITION BY doc_id) AS doc_fp_count FROM fps
 """
 
 
+def q_fp_near_dup_pairs(spark, sf_dir):
+    """Near-dup pairs from shared winnowed fingerprints (the MOSS use):
+    docs sharing >= 2 window-min rolling hashes, LSH-band join shape with a
+    hot-fp cap (boilerplate runs can never explode a join group). Exact
+    integer jaccard_e3 via SQL DIV — fully DuckDB-oracled end to end."""
+    from merge_machine_spark.functions.fingerprint import fp_near_dup_pairs
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return fp_near_dup_pairs(docs, k=3, w=4, min_shared=2, max_fp_df=200)
+
+
+SQL_FP_NEAR_DUP = f"""
+WITH fps AS ({SQL_WINNOWING}),
+ok AS (
+  SELECT * FROM fps
+  WHERE fp IN (SELECT fp FROM fps GROUP BY fp HAVING count(*) <= 200)),
+p AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         count(*) AS n_shared,
+         a.doc_fp_count AS fp_count_a, b.doc_fp_count AS fp_count_b
+  FROM ok a JOIN ok b ON a.fp = b.fp AND a.doc_id < b.doc_id
+  GROUP BY 1, 2, 4, 5)
+SELECT doc_a, doc_b, n_shared, fp_count_a, fp_count_b,
+       (1000 * n_shared) // (fp_count_a + fp_count_b - n_shared) AS jaccard_e3
+FROM p WHERE n_shared >= 2
+"""
+
+
 def q_embedding_near_dup(spark, sf_dir):
     """Training-data op the mandate names next to MinHash/SimHash:
     embedding-cosine near-dup dedup — threshold pairs -> connected
@@ -1089,6 +1117,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_top3": q_ann_ivf_top3,
         "embedding_near_dup": q_embedding_near_dup,
         "winnowing_fingerprints": q_winnowing_fingerprints,
+        "fp_near_dup_pairs": q_fp_near_dup_pairs,
     }
 
 
@@ -1127,4 +1156,5 @@ def oracle_sql() -> dict[str, str]:
         "media_stub_meta": SQL_MEDIA_STUB,
         "embedding_near_dup": SQL_EMB_NEAR_DUP,
         "winnowing_fingerprints": SQL_WINNOWING,
+        "fp_near_dup_pairs": SQL_FP_NEAR_DUP,
     }

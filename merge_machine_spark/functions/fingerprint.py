@@ -90,3 +90,53 @@ def winnowing_fingerprints(
         .distinct()
     )
     return fps.withColumn("doc_fp_count", F.count(F.lit(1)).over(Window.partitionBy("doc_id")))
+
+
+def fp_near_dup_pairs(
+    docs: DataFrame,
+    k: int = 3,
+    w: int = 4,
+    min_shared: int = 2,
+    max_fp_df: int = 1000,
+    report: dict | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Near-dup candidate pairs from shared winnowed fingerprints — the MOSS
+    use of the scheme: (doc_a, doc_b, n_shared, fp_count_a, fp_count_b,
+    jaccard_e3), doc_a < doc_b, n_shared >= min_shared.
+
+    Scale shape is the LSH-band pattern: the join key is the fingerprint
+    (selective by construction — window minima of a near-uniform hash), and
+    fingerprints hotter than ``max_fp_df`` docs (boilerplate runs: headers,
+    licence blocks) are dropped via a broadcast anti-join with the dropped
+    mass counted into ``report``, never silent — so no fp group can
+    quadratically explode. jaccard_e3 = (1000 * |A∩B|) div (|A∪B|) is exact
+    integer arithmetic (SQL DIV), oracle-safe like every other boundary in
+    this engine."""
+    fps = winnowing_fingerprints(docs, k=k, w=w, id_col=id_col, text_col=text_col)
+    sizes = fps.groupBy("fp").agg(F.count(F.lit(1)).alias("fp_df"))
+    too_big = sizes.filter(F.col("fp_df") > max_fp_df)
+    if report is not None:
+        dropped = too_big.agg(
+            F.count(F.lit(1)).alias("n"), F.coalesce(F.sum("fp_df"), F.lit(0)).alias("mass")
+        ).collect()[0]
+        report["fps_dropped"] = int(dropped["n"])
+        report["dropped_mass"] = int(dropped["mass"])
+    ok = fps.join(F.broadcast(too_big.select("fp")), "fp", "left_anti")
+    a = ok.select("fp", F.col("doc_id").alias("doc_a"), F.col("doc_fp_count").alias("fp_count_a"))
+    b = ok.select("fp", F.col("doc_id").alias("doc_b"), F.col("doc_fp_count").alias("fp_count_b"))
+    pairs = (
+        a.join(b, "fp")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b", "fp_count_a", "fp_count_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= F.lit(int(min_shared)))
+    )
+    # NB: n_shared counts shared SURVIVING fps (post max_fp_df cap), while
+    # fp_count_a/b are the full per-doc set sizes — so jaccard_e3 is a lower
+    # bound under the cap, the conservative direction for near-dup claims.
+    return pairs.select(
+        "doc_a", "doc_b", "n_shared", "fp_count_a", "fp_count_b",
+        F.expr("(1000 * n_shared) div (fp_count_a + fp_count_b - n_shared)").alias("jaccard_e3"),
+    )

@@ -50,3 +50,39 @@ def test_fp_rows_distinct_and_counts_consistent(spark):
     assert len(by_doc["r"]) == 1
     rows = [r for r in out if r["doc_id"] == "r"]
     assert len(rows) == 1 and rows[0]["doc_fp_count"] == 1
+
+
+def test_fp_near_dup_pairs_finds_near_dup_and_caps_hot_fps(spark):
+    from merge_machine_spark.functions.fingerprint import fp_near_dup_pairs
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [
+        ("a", base),
+        ("b", base + " with a small tail edit"),       # near-dup of a
+        ("c", "entirely different words nothing shared here at all today friends"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id string, text string")
+    out = {(r["doc_a"], r["doc_b"]): r for r in fp_near_dup_pairs(docs, min_shared=2).collect()}
+    assert ("a", "b") in out
+    r = out[("a", "b")]
+    assert r["n_shared"] >= 2 and 0 < r["jaccard_e3"] <= 1000
+    assert all("c" not in k for k in out)
+    # hot-fp cap: a fingerprint present in every doc gets dropped, reported
+    many = [(f"d{i}", base) for i in range(6)]
+    docs2 = spark.createDataFrame(many, "doc_id string, text string")
+    report = {}
+    capped = fp_near_dup_pairs(docs2, min_shared=1, max_fp_df=5, report=report)
+    assert capped.count() == 0  # every fp hits all 6 docs -> all dropped
+    assert report["fps_dropped"] > 0 and report["dropped_mass"] >= 6
+
+
+def test_fp_near_dup_jaccard_exact_for_identical_docs(spark):
+    from merge_machine_spark.functions.fingerprint import fp_near_dup_pairs
+
+    txt = "one two three four five six seven eight nine ten eleven twelve"
+    docs = spark.createDataFrame([("x", txt), ("y", txt)], "doc_id string, text string")
+    rows = fp_near_dup_pairs(docs, min_shared=1).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    # identical docs: shared = union -> jaccard exactly 1000
+    assert r["n_shared"] == r["fp_count_a"] == r["fp_count_b"] and r["jaccard_e3"] == 1000
