@@ -101,6 +101,7 @@ def fp_near_dup_pairs(
     report: dict | None = None,
     id_col: str = "doc_id",
     text_col: str = "text",
+    fps: DataFrame | None = None,
 ) -> DataFrame:
     """Near-dup candidate pairs from shared winnowed fingerprints — the MOSS
     use of the scheme: (doc_a, doc_b, n_shared, fp_count_a, fp_count_b,
@@ -113,8 +114,15 @@ def fp_near_dup_pairs(
     mass counted into ``report``, never silent — so no fp group can
     quadratically explode. jaccard_e3 = (1000 * |A∩B|) div (|A∪B|) is exact
     integer arithmetic (SQL DIV), oracle-safe like every other boundary in
-    this engine."""
-    fps = winnowing_fingerprints(docs, k=k, w=w, id_col=id_col, text_col=text_col)
+    this engine.
+
+    The fps subtree feeds three consumers (the df sizes, both self-join
+    sides). Pass a precomputed/staged ``fps`` frame (same ivf_topk-centroids
+    pattern) to evaluate winnowing once at scale — e.g. a StageStore
+    checkpoint of :func:`winnowing_fingerprints`; the inline default is fine
+    for one-shot contract-sized calls."""
+    if fps is None:
+        fps = winnowing_fingerprints(docs, k=k, w=w, id_col=id_col, text_col=text_col)
     sizes = fps.groupBy("fp").agg(F.count(F.lit(1)).alias("fp_df"))
     too_big = sizes.filter(F.col("fp_df") > max_fp_df)
     if report is not None:
