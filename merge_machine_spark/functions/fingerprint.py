@@ -123,7 +123,10 @@ def fp_near_dup_pairs(
     for one-shot contract-sized calls."""
     if fps is None:
         fps = winnowing_fingerprints(docs, k=k, w=w, id_col=id_col, text_col=text_col)
-    sizes = fps.groupBy("fp").agg(F.count(F.lit(1)).alias("fp_df"))
+    # pin the tiny df-count table so the report aggregate and the broadcast
+    # anti-join side don't each re-evaluate the winnowing subtree (the
+    # ADVICE-r2 pattern shared with lsh_topk/ivf_topk/near_dup_pairs)
+    sizes = fps.groupBy("fp").agg(F.count(F.lit(1)).alias("fp_df")).localCheckpoint(eager=True)
     too_big = sizes.filter(F.col("fp_df") > max_fp_df)
     if report is not None:
         dropped = too_big.agg(

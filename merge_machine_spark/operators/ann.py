@@ -390,16 +390,12 @@ def near_dup_groups(
     ``assignments_with_singletons`` policy). The CC star joins are
     type-generic (least/greatest/min), so bigint ids pass straight through
     with numeric min semantics — no lexicographic-padding dance."""
-    from .clustering import connected_components
+    from .clustering import assignments_with_singletons, connected_components
 
     pairs = near_dup_pairs(emb, threshold_e3=threshold_e3, method=method,
                            id_col=id_col, vec_col=vec_col, **pair_kwargs)
     asg = connected_components(pairs.select(F.col("u_id").alias("id_a"), F.col("v_id").alias("id_b")))
-    asg = asg.select(F.col("doc_id").alias("vec_id"), F.col("cluster_id").alias("group_id"))
-    singles = (
-        emb.select(F.col(id_col).alias("vec_id"))
-        .join(asg.select("vec_id"), "vec_id", "left_anti")
-        .select("vec_id", F.col("vec_id").alias("group_id"))
+    out = assignments_with_singletons(emb, asg, id_col=id_col).select(
+        F.col("doc_id").alias("vec_id"), F.col("cluster_id").alias("group_id")
     )
-    out = asg.unionByName(singles)
     return out.withColumn("group_size", F.count(F.lit(1)).over(Window.partitionBy("group_id")))

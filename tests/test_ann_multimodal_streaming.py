@@ -450,9 +450,12 @@ def test_near_dup_exact_recovers_planted_clusters(spark, vectors):
     from merge_machine_spark.operators.ann import near_dup_groups
 
     groups = near_dup_groups(vectors, threshold_e3=950, method="exact")
-    rows = {r["vec_id"]: (r["group_id"], r["group_size"]) for r in groups.collect()}
-    # every input vector is present exactly once
-    assert len(rows) == vectors.count()
+    collected = groups.collect()
+    # every input vector is present exactly once (assert BEFORE dict
+    # collapse, so a duplicate vec_id row can't hide behind its key)
+    assert len(collected) == vectors.count()
+    rows = {r["vec_id"]: (r["group_id"], r["group_size"]) for r in collected}
+    assert len(rows) == len(collected)
     # the 20 planted clusters (blocks of 5 consecutive ids) come back intact:
     # group_id = min member id = the block start, group_size = 5
     for vid, (gid, size) in rows.items():

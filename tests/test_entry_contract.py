@@ -18,6 +18,9 @@ SAMPLE = [
     "cascade_two_tier",
     "tpch_pricing_summary",
     "embedding_cosine_top5",
+    "embedding_near_dup",
+    "winnowing_fingerprints",
+    "fp_near_dup_pairs",
 ]
 
 
