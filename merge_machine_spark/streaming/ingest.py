@@ -93,3 +93,93 @@ def incremental_resolve_batch(new_docs: DataFrame, cluster_index: DataFrame, thr
         "doc_id", F.col("doc_id").alias("cluster_id")
     )
     return assign.unionByName(selfc)
+
+
+def near_dup_gate_batch(
+    new_docs: DataFrame,
+    fp_index: DataFrame,
+    min_shared: int = 2,
+    k: int = 3,
+    w: int = 4,
+    max_fp_df: int = 1000,
+) -> tuple[DataFrame, DataFrame]:
+    """One micro-batch of the streaming near-dup gate (used via
+    foreachBatch): drop incoming docs that near-duplicate the
+    already-accepted corpus or an earlier (smaller-id) doc of the same
+    batch, using winnowing fingerprints (`functions/fingerprint`).
+
+    ``new_docs``: (doc_id, text). ``fp_index``: (doc_id, fp) of every
+    accepted doc so far (empty frame for the first batch). Returns
+    ``(kept_ids, kept_fps)`` — the caller appends ``kept_fps`` to the index
+    and routes kept docs downstream.
+
+    Policy (conservative, deterministic):
+    1. a batch doc sharing >= ``min_shared`` fingerprints with ANY accepted
+       doc is dropped;
+    2. survivors near-duplicating each other within the batch resolve via
+       connected components over the fp-overlap pairs, keeping exactly the
+       minimum-id representative per component.
+    Like ``incremental_resolve_batch``, the gate never revisits accepted
+    docs — a periodic batch re-dedup reconciles (lambda architecture). The
+    index side carries fps of accepted docs only, so it grows with the
+    UNIQUE corpus, not the stream."""
+    from ..functions.fingerprint import fp_near_dup_pairs, winnowing_fingerprints
+    from ..operators.clustering import connected_components
+
+    # batch-sized: pin once, feed the three consumers below
+    fps_new = winnowing_fingerprints(new_docs, k=k, w=w).localCheckpoint(eager=True)
+
+    vs_idx = (
+        fps_new.join(fp_index.select(F.col("doc_id").alias("old_id"), "fp"), "fp")
+        .groupBy("doc_id", "old_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+        .select("doc_id")
+        .distinct()
+    )
+    survivors = fps_new.join(vs_idx, "doc_id", "left_anti")
+
+    pairs = fp_near_dup_pairs(
+        new_docs, min_shared=min_shared, max_fp_df=max_fp_df, fps=survivors
+    )
+    comps = connected_components(
+        pairs.select(F.col("doc_a").alias("id_a"), F.col("doc_b").alias("id_b"))
+    )
+    dropped_in_batch = comps.filter(F.col("doc_id") != F.col("cluster_id")).select("doc_id")
+    kept_fps = survivors.join(dropped_in_batch, "doc_id", "left_anti").select("doc_id", "fp")
+    # docs too short to fingerprint have no fps row — they pass the gate
+    # (no near-dup evidence either way; exact dedup upstream covers them)
+    kept_ids = new_docs.select("doc_id").join(
+        vs_idx.unionByName(dropped_in_batch), "doc_id", "left_anti"
+    )
+    return kept_ids, kept_fps
+
+
+def run_near_dup_gate(
+    stream: DataFrame,
+    kept_path: str,
+    index_path: str,
+    checkpoint_path: str,
+    min_shared: int = 2,
+    trigger_available_now: bool = True,
+):
+    """writeStream.foreachBatch wrapper: per micro-batch, gate
+    (doc_id, text) docs through ``near_dup_gate_batch`` against the
+    parquet fp index at ``index_path``, append kept docs to ``kept_path``
+    and their fingerprints to the index. availableNow drains and stops —
+    the test/scheduled-load mode, same as ``ingest_to_staging``."""
+
+    def _batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        try:
+            fp_index = spark.read.parquet(index_path)
+        except Exception:
+            fp_index = spark.createDataFrame([], "doc_id string, fp long")
+        kept_ids, kept_fps = near_dup_gate_batch(batch_df, fp_index, min_shared=min_shared)
+        batch_df.join(kept_ids, "doc_id", "left_semi").write.mode("append").parquet(kept_path)
+        kept_fps.write.mode("append").parquet(index_path)
+
+    writer = stream.writeStream.foreachBatch(_batch).option("checkpointLocation", checkpoint_path)
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -493,3 +493,74 @@ def test_near_dup_singletons_keep_own_group(spark, vectors):
     rows = groups.collect()
     assert len(rows) == vectors.count()
     assert all(r["group_id"] == r["vec_id"] and r["group_size"] == 1 for r in rows)
+
+
+# -- streaming near-dup gate ---------------------------------------------------
+
+
+BASE_TXT = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+OTHER_TXT = "completely different words on every position here today my good friends"
+
+
+def test_near_dup_gate_batch_two_batches(spark):
+    from merge_machine_spark.streaming.ingest import near_dup_gate_batch
+
+    empty_idx = spark.createDataFrame([], "doc_id string, fp long")
+    b1 = spark.createDataFrame(
+        [("a", BASE_TXT), ("b", BASE_TXT + " tiny tail"), ("c", OTHER_TXT)],
+        "doc_id string, text string",
+    )
+    kept1, fps1 = near_dup_gate_batch(b1, empty_idx)
+    assert {r["doc_id"] for r in kept1.collect()} == {"a", "c"}  # b ~ a, a is min id
+    fps1 = fps1.localCheckpoint(eager=True)
+    assert {r["doc_id"] for r in fps1.select("doc_id").distinct().collect()} == {"a", "c"}
+
+    b2 = spark.createDataFrame(
+        [("d", BASE_TXT + " other tail"), ("e", "fresh unseen content stream nine brand tokens flowing right through")],
+        "doc_id string, text string",
+    )
+    kept2, fps2 = near_dup_gate_batch(b2, fps1)
+    assert {r["doc_id"] for r in kept2.collect()} == {"e"}  # d ~ accepted a
+    assert {r["doc_id"] for r in fps2.select("doc_id").distinct().collect()} == {"e"}
+
+
+def test_near_dup_gate_short_docs_pass(spark):
+    from merge_machine_spark.streaming.ingest import near_dup_gate_batch
+
+    empty_idx = spark.createDataFrame([], "doc_id string, fp long")
+    b = spark.createDataFrame([("s", "too short"), ("t", "too short")], "doc_id string, text string")
+    kept, fps = near_dup_gate_batch(b, empty_idx)
+    # no full winnowing window -> no near-dup evidence -> both pass the gate
+    assert {r["doc_id"] for r in kept.collect()} == {"s", "t"}
+    assert fps.count() == 0
+
+
+def test_run_near_dup_gate_available_now(spark, tmp_path):
+    """foreachBatch end-to-end: file stream -> fp-index gate -> kept parquet.
+    Second drain sees the first drain's index and drops the re-arrived
+    near-dups."""
+    from merge_machine_spark.streaming.ingest import run_near_dup_gate
+
+    src = str(tmp_path / "in")
+    docs = spark.createDataFrame(
+        [("a", BASE_TXT), ("b", BASE_TXT + " tiny tail"), ("c", OTHER_TXT)],
+        "doc_id string, text string",
+    )
+    docs.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(docs.schema).parquet(src)
+    q = run_near_dup_gate(stream, str(tmp_path / "kept"), str(tmp_path / "idx"), str(tmp_path / "ck"))
+    q.awaitTermination(120)
+    kept = spark.read.parquet(str(tmp_path / "kept"))
+    assert {r["doc_id"] for r in kept.select("doc_id").collect()} == {"a", "c"}
+
+    # new files arrive: one near-dup of the ACCEPTED corpus, one novel
+    more = spark.createDataFrame(
+        [("d", BASE_TXT + " another tail"), ("e", "fresh unseen content stream nine brand tokens flowing right through")],
+        "doc_id string, text string",
+    )
+    more.write.mode("append").parquet(src)
+    stream2 = spark.readStream.schema(docs.schema).parquet(src)
+    q2 = run_near_dup_gate(stream2, str(tmp_path / "kept"), str(tmp_path / "idx"), str(tmp_path / "ck"))
+    q2.awaitTermination(120)
+    kept2 = spark.read.parquet(str(tmp_path / "kept"))
+    assert {r["doc_id"] for r in kept2.select("doc_id").collect()} == {"a", "c", "e"}
