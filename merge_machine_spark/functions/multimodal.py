@@ -273,3 +273,82 @@ def media_dedup_pairs(
         )
         .filter(F.col("cos") >= threshold)
     )
+
+
+# -- video frame sampling ------------------------------------------------------
+
+FRAME_SAMPLE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_ref", T.StringType(), False),
+        T.StructField("frame_idx", T.IntegerType(), False),
+        T.StructField("t_offset_s", T.DoubleType(), False),
+        T.StructField("feature", T.ArrayType(T.FloatType()), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("decode_ok", T.BooleanType(), False),
+    ]
+)
+
+
+def _frame_stub(media_ref: str, frame_idx: int) -> tuple[np.ndarray, int, int]:
+    """STUB frame decoder — deterministic pseudo-frame feature from
+    (ref, frame_idx), same shape the real path would produce. A real
+    implementation seeks the container to t_offset and decodes one frame
+    (ffmpeg/pyav — not in this environment); refs marked ``m!//`` raise
+    NotImplementedError exactly like the image stub so the honest-failure
+    path is shared."""
+    return _decode_stub(f"{media_ref}#frame={frame_idx}")
+
+
+def sample_video_frames(
+    media: DataFrame,
+    n_frames: int = 4,
+    ref_col: str = "media_ref",
+    duration_col: str = "duration_s",
+) -> DataFrame:
+    """(media_ref, duration_s) -> ``n_frames`` uniformly-spaced sampled
+    frames per video: (media_ref, frame_idx, t_offset_s, feature, width,
+    height, decode_ok).
+
+    Sampling is the mandated training-pipeline op: timestamps are the
+    deterministic midpoints t_i = duration * (i + 0.5) / n (no randomness —
+    the same video always yields the same frames, so downstream dedup and
+    caching are stable). The frame-index explode happens JVM-side
+    (``posexplode(sequence(...))``) BEFORE Python, so a 2-hour video and a
+    10-second clip cost the same fixed n rows each and the Arrow batch
+    carries only (ref, idx, t) — never video bytes through the driver.
+    Frame decode itself is the deterministic stub (no video codec ships in
+    this container); the mapInPandas schema/batch shape is the real
+    contract a codec-backed decoder drops into."""
+    frames = media.select(
+        F.col(ref_col).alias("media_ref"),
+        F.col(duration_col).cast("double").alias("dur"),
+        F.posexplode(F.sequence(F.lit(0), F.lit(int(n_frames) - 1))).alias("pos", "frame_idx"),
+    ).select(
+        "media_ref",
+        F.col("frame_idx").cast("int").alias("frame_idx"),
+        (F.col("dur") * (F.col("frame_idx") + F.lit(0.5)) / F.lit(float(n_frames))).alias("t_offset_s"),
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats, ws, hs, oks = [], [], [], []
+            for ref, idx in zip(pdf["media_ref"], pdf["frame_idx"]):
+                try:
+                    vec, w, h = _frame_stub(str(ref), int(idx))
+                    feats.append(vec.tolist()); ws.append(w); hs.append(h); oks.append(True)
+                except NotImplementedError:
+                    feats.append(None); ws.append(None); hs.append(None); oks.append(False)
+            yield pd.DataFrame(
+                {
+                    "media_ref": pdf["media_ref"],
+                    "frame_idx": pdf["frame_idx"],
+                    "t_offset_s": pdf["t_offset_s"],
+                    "feature": feats,
+                    "width": pd.array(ws, dtype="Int32"),
+                    "height": pd.array(hs, dtype="Int32"),
+                    "decode_ok": oks,
+                }
+            )
+
+    return frames.mapInPandas(run, FRAME_SAMPLE_SCHEMA)

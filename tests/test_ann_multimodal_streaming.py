@@ -564,3 +564,28 @@ def test_run_near_dup_gate_available_now(spark, tmp_path):
     q2.awaitTermination(120)
     kept2 = spark.read.parquet(str(tmp_path / "kept"))
     assert {r["doc_id"] for r in kept2.select("doc_id").collect()} == {"a", "c", "e"}
+
+
+def test_sample_video_frames_plumbing_and_determinism(spark):
+    from merge_machine_spark.functions.multimodal import sample_video_frames
+
+    media = spark.createDataFrame(
+        [("v://clip-a", 10.0), ("v://clip-b", 2.0), ("m!//needs-codec", 8.0)],
+        "media_ref string, duration_s double",
+    )
+    out = sample_video_frames(media, n_frames=4).collect()
+    assert len(out) == 12  # 3 videos x 4 frames, JVM-side explode
+    a = sorted((r for r in out if r["media_ref"] == "v://clip-a"), key=lambda r: r["frame_idx"])
+    # deterministic uniform midpoints: t_i = dur * (i + 0.5) / n
+    assert [r["t_offset_s"] for r in a] == [1.25, 3.75, 6.25, 8.75]
+    assert all(r["decode_ok"] and len(r["feature"]) == 16 for r in a)
+    # different frames of one video get different pseudo-frames
+    assert len({tuple(r["feature"]) for r in a}) == 4
+    # refs demanding a real codec fail honestly, never a task failure
+    bad = [r for r in out if r["media_ref"] == "m!//needs-codec"]
+    assert len(bad) == 4 and all((not r["decode_ok"]) and r["feature"] is None for r in bad)
+    # determinism across runs: same ref+idx -> same feature
+    again = sample_video_frames(media, n_frames=4).collect()
+    assert {(r["media_ref"], r["frame_idx"], tuple(r["feature"] or [])) for r in again} == {
+        (r["media_ref"], r["frame_idx"], tuple(r["feature"] or [])) for r in out
+    }
