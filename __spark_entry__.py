@@ -1077,6 +1077,51 @@ FROM h
 """
 
 
+def q_frame_sample_meta(spark, sf_dir):
+    """Video frame sampling through the driver contract: derive a
+    deterministic per-doc video (ref + sha256-hex-derived duration — the
+    driver tables carry no real videos), run the REAL sample_video_frames
+    mapInPandas operator (3 frames each), and emit the metadata columns.
+    Duration, frame timestamps, and stub frame dims are all replicated in
+    SQL (DuckDB sha256 + strpos hex arithmetic, the SQL_MEDIA_STUB
+    technique) — a FULL value oracle over the frame-explode + Arrow batch
+    path; the 16-dim frame features are pytest-covered."""
+    from merge_machine_spark.functions.multimodal import sample_video_frames
+
+    ref = F.concat(F.lit("vid://"), F.col("doc_id").cast("string"))
+    dur = (F.lit(1) + F.conv(F.substring(F.sha2(ref, 256), 1, 2), 16, 10).cast("int") % F.lit(60)).cast("double")
+    media = _t(spark, sf_dir, "documents").select(ref.alias("media_ref"), dur.alias("duration_s"))
+    out = sample_video_frames(media, n_frames=3)
+    return out.select("media_ref", "frame_idx", "t_offset_s", "width", "height", "decode_ok")
+
+
+SQL_FRAME_SAMPLE = """
+WITH m AS (
+  SELECT 'vid://' || CAST(doc_id AS VARCHAR) AS media_ref,
+         sha256('vid://' || CAST(doc_id AS VARCHAR)) AS dh
+  FROM documents),
+d AS (
+  SELECT media_ref,
+         CAST(1 + ((16 * (strpos('0123456789abcdef', substr(dh, 1, 1)) - 1)
+                  + (strpos('0123456789abcdef', substr(dh, 2, 1)) - 1)) % 60) AS DOUBLE) AS dur
+  FROM m),
+f AS (
+  SELECT media_ref, dur, CAST(unnest(range(0, 3)) AS INTEGER) AS frame_idx FROM d),
+h AS (
+  SELECT media_ref, frame_idx,
+         dur * (frame_idx + 0.5) / 3.0 AS t_offset_s,
+         sha256(media_ref || '#frame=' || CAST(frame_idx AS VARCHAR)) AS hx
+  FROM f)
+SELECT media_ref, frame_idx, t_offset_s,
+  CAST(64 + ((16 * (strpos('0123456789abcdef', substr(hx, 1, 1)) - 1)
+            + (strpos('0123456789abcdef', substr(hx, 2, 1)) - 1)) % 192) AS INTEGER) AS width,
+  CAST(64 + ((16 * (strpos('0123456789abcdef', substr(hx, 3, 1)) - 1)
+            + (strpos('0123456789abcdef', substr(hx, 4, 1)) - 1)) % 192) AS INTEGER) AS height,
+  TRUE AS decode_ok
+FROM h
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "scan_clean_project": q_scan_clean_project,
@@ -1118,6 +1163,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup": q_embedding_near_dup,
         "winnowing_fingerprints": q_winnowing_fingerprints,
         "fp_near_dup_pairs": q_fp_near_dup_pairs,
+        "frame_sample_meta": q_frame_sample_meta,
     }
 
 
@@ -1157,4 +1203,5 @@ def oracle_sql() -> dict[str, str]:
         "embedding_near_dup": SQL_EMB_NEAR_DUP,
         "winnowing_fingerprints": SQL_WINNOWING,
         "fp_near_dup_pairs": SQL_FP_NEAR_DUP,
+        "frame_sample_meta": SQL_FRAME_SAMPLE,
     }
