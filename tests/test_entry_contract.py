@@ -21,6 +21,8 @@ SAMPLE = [
     "embedding_near_dup",
     "winnowing_fingerprints",
     "fp_near_dup_pairs",
+    "media_stub_meta",
+    "frame_sample_meta",
 ]
 
 
