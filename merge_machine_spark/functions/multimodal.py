@@ -74,22 +74,34 @@ def _try_import_pil():
         return None
 
 
+def resize_box(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Deterministic box-average resize of an (H, W) or (H, W, C) array to
+    (out_h, out_w[, C]) — the mandated standalone ``resize`` op. Integer
+    cell boundaries (i*H//out_h), every cell forced non-empty so even a
+    1-2px image resizes without NaNs; pure numpy, no codec library, so
+    pillow and miniimage workers produce bit-identical results from the
+    same pixels. Output dtype float64 (cell means)."""
+    h, w = img.shape[0], img.shape[1]
+    shape = (out_h, out_w) + img.shape[2:]
+    out = np.empty(shape, dtype=np.float64)
+    for i in range(out_h):
+        r0 = i * h // out_h
+        r1 = max((i + 1) * h // out_h, r0 + 1)
+        for j in range(out_w):
+            c0 = j * w // out_w
+            c1 = max((j + 1) * w // out_w, c0 + 1)
+            out[i, j] = img[r0:r1, c0:c1].mean(axis=(0, 1))
+    return out
+
+
 def _feature_from_rgb(rgb: np.ndarray) -> np.ndarray:
     """SHARED feature math over a decoded (H, W, 3) uint8 pixel array:
-    ITU-R 601 luma, 4x4 box-average thumbnail (integer cell boundaries
-    i*H//4, every cell non-empty even for 1-2px images), flatten, L2-norm.
-    Lives outside both decoders so pillow and miniimage workers compute
-    bit-identical features from the same pixels."""
+    ITU-R 601 luma, 4x4 box-average thumbnail (via :func:`resize_box` —
+    same integer cell boundaries as always, so features are unchanged),
+    flatten, L2-norm. Lives outside both decoders so pillow and miniimage
+    workers compute bit-identical features from the same pixels."""
     gray = rgb[:, :, 0] * 0.299 + rgb[:, :, 1] * 0.587 + rgb[:, :, 2] * 0.114
-    h, w = gray.shape
-    thumb = np.empty((4, 4), dtype=np.float64)
-    for i in range(4):
-        r0 = i * h // 4
-        r1 = max((i + 1) * h // 4, r0 + 1)
-        for j in range(4):
-            c0 = j * w // 4
-            c1 = max((j + 1) * w // 4, c0 + 1)
-            thumb[i, j] = gray[r0:r1, c0:c1].mean()
+    thumb = resize_box(gray, 4, 4)
     vec = thumb.reshape(-1).astype(np.float32)
     norm = float(np.linalg.norm(vec))
     if norm > 0:

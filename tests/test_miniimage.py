@@ -284,3 +284,22 @@ def test_png_decompression_bomb_is_bounded():
     )
     with pytest.raises(CorruptImageError, match="size mismatch"):
         decode(payload2)
+
+
+def test_resize_box_known_values_and_shapes():
+    import numpy as np
+
+    from merge_machine_spark.functions.multimodal import resize_box
+
+    # 4x4 -> 2x2: each output cell is the mean of a 2x2 block
+    img = np.arange(16, dtype=np.float64).reshape(4, 4)
+    out = resize_box(img, 2, 2)
+    assert out.shape == (2, 2)
+    assert out[0, 0] == np.mean([0, 1, 4, 5]) and out[1, 1] == np.mean([10, 11, 14, 15])
+    # channel axis passes through: (H, W, 3) -> (2, 2, 3)
+    rgb = np.stack([img, img + 1, img + 2], axis=-1)
+    out3 = resize_box(rgb, 2, 2)
+    assert out3.shape == (2, 2, 3) and (out3[:, :, 1] == out + 1).all()
+    # upscale-degenerate input: 1x1 image still fills every cell (no NaN)
+    tiny = resize_box(np.array([[7.0]]), 4, 4)
+    assert tiny.shape == (4, 4) and (tiny == 7.0).all()
