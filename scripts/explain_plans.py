@@ -87,6 +87,27 @@ sections[
     )
 )
 
+# winnowing fingerprints + fp-overlap near-dup + video frame sampling:
+# per-doc HOF work, one window shuffle, capped band self-join, and the
+# frame-index explode that stays JVM-side ahead of the Arrow batch
+from merge_machine_spark.functions.fingerprint import fp_near_dup_pairs, winnowing_fingerprints
+from merge_machine_spark.functions.multimodal import sample_video_frames
+
+wdocs = project_documents(docs).select("doc_id", F.col("full_text").alias("text"))
+sections[
+    "winnowing fingerprints (HOF hash folds -> posexplode -> one doc_id window -> local-first distinct)"
+] = grab(winnowing_fingerprints(wdocs))
+sections[
+    "fp-overlap near-dup pairs (checkpointed df table -> broadcast cap anti-join -> fp band self-join)"
+] = grab(fp_near_dup_pairs(wdocs, min_shared=2))
+vids = spark.range(200).select(
+    F.concat(F.lit("vid://"), F.col("id").cast("string")).alias("media_ref"),
+    (F.lit(1.0) + F.pmod(F.col("id"), F.lit(60)).cast("double")).alias("duration_s"),
+)
+sections[
+    "video frame sampling (JVM-side posexplode(sequence) BEFORE the Arrow batch)"
+] = grab(sample_video_frames(vids, n_frames=4))
+
 out = ["# Physical plans — flagship pipeline (captured via .explain('formatted'))\n"]
 out.append("What to verify in each plan (and what we verified):\n"
            "1. the parquet scan of `spans` prunes to needed nested fields;\n"
