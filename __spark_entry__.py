@@ -519,21 +519,36 @@ FROM t
 """
 
 
+# GPT-2-style pretokenizer shape (the "BPE-ish regex" of the task mandate):
+# contraction suffixes, space-prefixed letter runs, space-prefixed digit
+# runs, space-prefixed punctuation runs — over lowercased text, so the
+# alternation is identical in Java (Spark) and RE2 (DuckDB) dialects.
+_BPE_ISH = "'s|'t|'re|'ve|'m|'ll|'d| ?[a-z]+| ?[0-9]+| ?[^a-z0-9\\s']+"
+
+
 def q_token_counts(spark, sf_dir):
-    """Training-data op: token counting (whitespace + alpha/digit regex)."""
+    """Training-data op: token counting — whitespace, alpha/digit regex,
+    and a BPE-ish GPT-2-pretokenizer count (the mandate's wording); the
+    latter approximates the token count a BPE tokenizer's pretokenize pass
+    would produce (each pretoken splits into >= 1 BPE pieces)."""
     docs = _t(spark, sf_dir, "documents")
     txt = F.coalesce(F.col("text"), F.lit(""))
     ws = F.size(F.filter(F.split(txt, r"\s+"), lambda t: t != F.lit("")))
     alpha = F.size(F.regexp_extract_all(F.lower(txt), F.lit("([a-z]+)"), 1))
     digit = F.size(F.regexp_extract_all(txt, F.lit("([0-9]+)"), 1))
-    return docs.select("doc_id", ws.alias("ws_tokens"), alpha.alias("alpha_tokens"), digit.alias("digit_tokens"))
+    bpe = F.size(F.regexp_extract_all(F.lower(txt), F.lit(_BPE_ISH), 0))
+    return docs.select(
+        "doc_id", ws.alias("ws_tokens"), alpha.alias("alpha_tokens"),
+        digit.alias("digit_tokens"), bpe.alias("bpe_ish_tokens"),
+    )
 
 
-SQL_TOKEN_COUNTS = """
+SQL_TOKEN_COUNTS = f"""
 SELECT doc_id,
   len(list_filter(regexp_split_to_array(coalesce(text,''), '\\s+'), t -> t <> '')) AS ws_tokens,
   len(regexp_extract_all(lower(coalesce(text,'')), '([a-z]+)', 1)) AS alpha_tokens,
-  len(regexp_extract_all(coalesce(text,''), '([0-9]+)', 1)) AS digit_tokens
+  len(regexp_extract_all(coalesce(text,''), '([0-9]+)', 1)) AS digit_tokens,
+  len(regexp_extract_all(lower(coalesce(text,'')), '{_BPE_ISH.replace("'", "''")}', 0)) AS bpe_ish_tokens
 FROM documents
 """
 
