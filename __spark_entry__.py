@@ -462,16 +462,29 @@ FROM events GROUP BY event_type
 
 
 def q_lang_id(spark, sf_dir):
-    """Training-data op: n-gram/stopword language-ID heuristic."""
+    """Training-data op: language-ID heuristic — stopword votes plus true
+    character-n-gram occurrence counts (the mandate's 'n-gram heuristic'):
+    occurrences of the English-discriminative bigram 'th' and trigram
+    'ing' counted JVM-side via replace-length arithmetic, exactly
+    replicable in SQL. (The synthetic text is language-invariant word soup,
+    so the columns are the heuristic's FEATURES; no accuracy is claimed —
+    the lang label rides along for downstream evaluation.)"""
     docs = _t(spark, sf_dir, "documents")
-    toks = F.split(F.lower(F.coalesce(F.col("text"), F.lit(""))), _TOKEN_SPLIT)
+    txt = F.lower(F.coalesce(F.col("text"), F.lit("")))
+    toks = F.split(txt, _TOKEN_SPLIT)
     en_hits = F.size(F.filter(toks, lambda t: (t == F.lit("the")) | (t == F.lit("a")) | (t == F.lit("of"))))
     n_tok = F.size(F.filter(toks, lambda t: t != F.lit("")))
+
+    def occ(s: str):
+        return (F.length(txt) - F.length(F.replace(txt, F.lit(s)))) / F.lit(len(s))
+
     return docs.select(
         "doc_id",
         "lang",
         en_hits.alias("en_hits"),
         n_tok.alias("n_tokens"),
+        occ("th").cast("bigint").alias("ngram_th"),
+        occ("ing").cast("bigint").alias("ngram_ing"),
         (en_hits * 1000 >= n_tok).alias("en_like"),
     )
 
@@ -481,6 +494,8 @@ SELECT doc_id, lang,
   len(list_filter(regexp_split_to_array(lower(coalesce(text,'')), '[^a-z0-9]+'),
                   t -> t IN ('the','a','of'))) AS en_hits,
   len(list_filter(regexp_split_to_array(lower(coalesce(text,'')), '[^a-z0-9]+'), t -> t <> '')) AS n_tokens,
+  CAST((len(lower(coalesce(text,''))) - len(replace(lower(coalesce(text,'')), 'th', ''))) / 2 AS BIGINT) AS ngram_th,
+  CAST((len(lower(coalesce(text,''))) - len(replace(lower(coalesce(text,'')), 'ing', ''))) / 3 AS BIGINT) AS ngram_ing,
   (len(list_filter(regexp_split_to_array(lower(coalesce(text,'')), '[^a-z0-9]+'), t -> t IN ('the','a','of'))) * 1000
      >= len(list_filter(regexp_split_to_array(lower(coalesce(text,'')), '[^a-z0-9]+'), t -> t <> ''))) AS en_like
 FROM documents
