@@ -1152,6 +1152,83 @@ FROM h
 """
 
 
+def q_audio_window_meta(spark, sf_dir):
+    """Audio windowing through the driver contract: derive a deterministic
+    per-doc audio clip (ref + sha256-hex-derived quarter-second duration —
+    the driver tables carry no real audio), run the REAL
+    extract_audio_windows mapInPandas operator (1s windows @ 16 kHz), and
+    emit every column. Duration, window bounds, and the whole-window PCM
+    features (energy / rms / zero_crossings of the tiled stub signal) are
+    all replicated in SQL (DuckDB sha256 + strpos hex arithmetic over the
+    32 seed bytes, the SQL_FRAME_SAMPLE technique) — a FULL value oracle
+    over the window-explode + Arrow batch + feature math."""
+    from merge_machine_spark.functions.multimodal import extract_audio_windows
+
+    ref = F.concat(F.lit("aud://"), F.col("doc_id").cast("string"))
+    dur = (
+        F.lit(1) + F.conv(F.substring(F.sha2(ref, 256), 1, 2), 16, 10).cast("int") % F.lit(120)
+    ).cast("double") / F.lit(4.0)
+    media = _t(spark, sf_dir, "documents").select(ref.alias("media_ref"), dur.alias("duration_s"))
+    out = extract_audio_windows(media, window_s=1.0, sample_rate=16000)
+    return out.select(
+        "media_ref", "win_idx", "t_start_s", "t_end_s", "sample_rate",
+        "n_samples", "energy", "rms", "zero_crossings", "decode_ok",
+    )
+
+
+SQL_AUDIO_WINDOW = """
+WITH m AS (
+  SELECT 'aud://' || CAST(doc_id AS VARCHAR) AS media_ref,
+         sha256('aud://' || CAST(doc_id AS VARCHAR)) AS dh
+  FROM documents),
+d AS (
+  SELECT media_ref,
+         (1 + ((16 * (strpos('0123456789abcdef', substr(dh, 1, 1)) - 1)
+              + (strpos('0123456789abcdef', substr(dh, 2, 1)) - 1)) % 120)) / 4.0 AS dur
+  FROM m),
+w AS (
+  SELECT media_ref, dur,
+         CAST(unnest(range(0, CAST(ceil(dur / 1.0) AS BIGINT))) AS INTEGER) AS win_idx
+  FROM d),
+g AS (
+  SELECT media_ref, win_idx,
+         win_idx * 1.0 AS t_start_s,
+         least(dur, (win_idx + 1) * 1.0) AS t_end_s,
+         sha256(media_ref || '#win=' || CAST(win_idx AS VARCHAR)) AS hx
+  FROM w),
+b AS (
+  SELECT media_ref, win_idx, t_start_s, t_end_s, hx,
+         CAST(unnest(range(0, 32)) AS INTEGER) AS j
+  FROM g),
+s AS (
+  SELECT media_ref, win_idx, t_start_s, t_end_s, j,
+         CAST(((16 * (strpos('0123456789abcdef', substr(hx, 2 * j + 1, 1)) - 1)
+              + (strpos('0123456789abcdef', substr(hx, 2 * j + 2, 1)) - 1)) - 128) * 256 AS BIGINT) AS smp
+  FROM b),
+s2 AS (
+  SELECT *, lag(smp) OVER (PARTITION BY media_ref, win_idx ORDER BY j) AS prev FROM s),
+f AS (
+  SELECT media_ref, win_idx,
+         any_value(t_start_s) AS t_start_s, any_value(t_end_s) AS t_end_s,
+         CAST(sum(smp * smp) AS BIGINT) AS seed_energy,
+         CAST(sum(CASE WHEN prev IS NOT NULL AND ((smp >= 0) <> (prev >= 0)) THEN 1 ELSE 0 END) AS INTEGER) AS zc_seed,
+         max(CASE WHEN j = 0 THEN smp END) AS s0,
+         max(CASE WHEN j = 31 THEN smp END) AS s31
+  FROM s2 GROUP BY media_ref, win_idx),
+n AS (
+  SELECT *, CAST(round((t_end_s - t_start_s) * 16000) AS INTEGER) AS n_samples FROM f)
+SELECT media_ref, win_idx, t_start_s, t_end_s,
+       CAST(16000 AS INTEGER) AS sample_rate,
+       n_samples,
+       CAST(seed_energy * (n_samples // 32) AS BIGINT) AS energy,
+       sqrt(CAST(seed_energy * (n_samples // 32) AS DOUBLE) / n_samples) AS rms,
+       CAST(zc_seed * (n_samples // 32)
+            + (CASE WHEN (s0 >= 0) <> (s31 >= 0) THEN 1 ELSE 0 END) * (n_samples // 32 - 1) AS INTEGER) AS zero_crossings,
+       TRUE AS decode_ok
+FROM n
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "scan_clean_project": q_scan_clean_project,
@@ -1185,6 +1262,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "must_filter_phrase": q_must_filter_phrase,
         "majority_vote_user": q_majority_vote_user,
         "media_stub_meta": q_media_stub_meta,
+        "audio_window_meta": q_audio_window_meta,
         # rows-only (non-SQL-expressible; pytest oracles)
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "french_analyzer_tokens": q_french_analyzer_tokens,
@@ -1234,4 +1312,5 @@ def oracle_sql() -> dict[str, str]:
         "winnowing_fingerprints": SQL_WINNOWING,
         "fp_near_dup_pairs": SQL_FP_NEAR_DUP,
         "frame_sample_meta": SQL_FRAME_SAMPLE,
+        "audio_window_meta": SQL_AUDIO_WINDOW,
     }

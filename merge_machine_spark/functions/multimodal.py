@@ -364,3 +364,143 @@ def sample_video_frames(
             )
 
     return frames.mapInPandas(run, FRAME_SAMPLE_SCHEMA)
+
+
+# -- audio window features -----------------------------------------------------
+
+AUDIO_WINDOW_SCHEMA = T.StructType(
+    [
+        T.StructField("media_ref", T.StringType(), False),
+        T.StructField("win_idx", T.IntegerType(), False),
+        T.StructField("t_start_s", T.DoubleType(), False),
+        T.StructField("t_end_s", T.DoubleType(), False),
+        T.StructField("sample_rate", T.IntegerType(), True),
+        T.StructField("n_samples", T.IntegerType(), True),
+        T.StructField("energy", T.LongType(), True),
+        T.StructField("rms", T.DoubleType(), True),
+        T.StructField("zero_crossings", T.IntegerType(), True),
+        T.StructField("decode_ok", T.BooleanType(), False),
+    ]
+)
+
+AUDIO_SEED_LEN = 32  # one sha256 digest = one seed period of stub PCM
+
+
+def _audio_stub(media_ref: str, win_idx: int) -> np.ndarray:
+    """STUB PCM decoder — one deterministic 32-sample int16-range seed
+    period from sha256(ref#win=idx); the "decoded" window is this period
+    tiled to ``n_samples`` (always a multiple of 32 — see
+    ``extract_audio_windows``), which makes whole-window energy / RMS /
+    zero-crossing counts EXACT closed forms of the seed period, so the
+    emitted features equal what a brute-force pass over the tiled signal
+    would compute (pinned by test_audio_features_match_bruteforce_tile).
+    A real implementation seeks the container and decodes PCM
+    (ffmpeg/soundfile — not in this environment); refs marked ``m!//``
+    raise NotImplementedError exactly like the image stub so the honest
+    decode_ok=False path is shared."""
+    if media_ref.startswith("m!//"):
+        raise NotImplementedError("real audio decoding requires codec libraries (ffmpeg/soundfile)")
+    dg = hashlib.sha256(f"{media_ref}#win={win_idx}".encode()).digest()
+    return (np.frombuffer(dg, dtype=np.uint8).astype(np.int64) - 128) * 256
+
+
+def extract_audio_windows(
+    media: DataFrame,
+    window_s: float = 1.0,
+    sample_rate: int = 16000,
+    ref_col: str = "media_ref",
+    duration_col: str = "duration_s",
+) -> DataFrame:
+    """(media_ref, duration_s) -> fixed-length analysis windows with the
+    cheap PCM features a training-data pipeline gates audio on:
+    (media_ref, win_idx, t_start_s, t_end_s, sample_rate, n_samples,
+    energy, rms, zero_crossings, decode_ok).
+
+    Parity target: the reference treats every modality as an opaque
+    payload column behind an analyzer (SURVEY §2.8); this is the audio
+    analogue of ``sample_video_frames``. The window explode happens
+    JVM-side (``posexplode(sequence(0, ceil(dur/window)-1))``) BEFORE
+    Python, so a 3-hour podcast and a 2-second clip each cost exactly
+    ceil(dur/window) rows and the Arrow batch carries only
+    (ref, idx, t_start, t_end) — audio bytes never cross the driver.
+
+    Features per window (whole-window quantities over the stub-decoded
+    PCM): ``energy`` = sum(s^2) as exact int64, ``rms`` =
+    sqrt(energy/n_samples), ``zero_crossings`` = sign-change count —
+    the standard speech/music/silence discriminators. The final partial
+    window reports its true (shorter) n_samples. Decode is the
+    deterministic stub (no audio codec ships in this container); the
+    mapInPandas schema/batch shape is the real contract a codec-backed
+    decoder drops into.
+
+    Exactness requirement: ``window_s * sample_rate`` and every partial
+    tail length must be multiples of AUDIO_SEED_LEN=32 for the tiled-seed
+    closed forms to hold (16 kHz with quarter-second durations satisfies
+    this; asserted at runtime)."""
+    full_n = int(round(window_s * sample_rate))
+    if full_n % AUDIO_SEED_LEN != 0:
+        raise ValueError(f"window_s*sample_rate must be a multiple of {AUDIO_SEED_LEN}")
+    rate = int(sample_rate)
+    win = float(window_s)
+
+    dur = F.col(duration_col).cast("double")
+    wins = (
+        media.filter(dur > 0)
+        .select(
+            F.col(ref_col).alias("media_ref"),
+            dur.alias("dur"),
+            F.posexplode(
+                F.sequence(F.lit(0), F.ceil(dur / F.lit(win)).cast("int") - 1)
+            ).alias("pos", "win_idx"),
+        )
+        .select(
+            "media_ref",
+            F.col("win_idx").cast("int").alias("win_idx"),
+            (F.col("win_idx") * F.lit(win)).alias("t_start_s"),
+            F.least(F.col("dur"), (F.col("win_idx") + 1) * F.lit(win)).alias("t_end_s"),
+        )
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            srs, ns, energies, rmss, zcs, oks = [], [], [], [], [], []
+            for ref, idx, t0, t1 in zip(
+                pdf["media_ref"], pdf["win_idx"], pdf["t_start_s"], pdf["t_end_s"]
+            ):
+                try:
+                    seed = _audio_stub(str(ref), int(idx))
+                    n = int(round((float(t1) - float(t0)) * rate))
+                    if n % AUDIO_SEED_LEN != 0:
+                        raise ValueError(
+                            f"partial window of {n} samples is not a multiple of {AUDIO_SEED_LEN}; "
+                            "choose window_s/sample_rate so every tail tiles exactly"
+                        )
+                    tiles = n // AUDIO_SEED_LEN
+                    seed_energy = int(np.sum(seed * seed))
+                    energy = seed_energy * tiles
+                    rms = float(np.sqrt(energy / float(n)))
+                    nonneg = seed >= 0
+                    zc_seed = int(np.count_nonzero(nonneg[1:] != nonneg[:-1]))
+                    boundary = int(nonneg[0] != nonneg[-1])
+                    zc = zc_seed * tiles + boundary * (tiles - 1)
+                    srs.append(rate); ns.append(n); energies.append(energy)
+                    rmss.append(rms); zcs.append(zc); oks.append(True)
+                except NotImplementedError:
+                    srs.append(None); ns.append(None); energies.append(None)
+                    rmss.append(None); zcs.append(None); oks.append(False)
+            yield pd.DataFrame(
+                {
+                    "media_ref": pdf["media_ref"],
+                    "win_idx": pdf["win_idx"],
+                    "t_start_s": pdf["t_start_s"],
+                    "t_end_s": pdf["t_end_s"],
+                    "sample_rate": pd.array(srs, dtype="Int32"),
+                    "n_samples": pd.array(ns, dtype="Int32"),
+                    "energy": pd.array(energies, dtype="Int64"),
+                    "rms": rmss,
+                    "zero_crossings": pd.array(zcs, dtype="Int32"),
+                    "decode_ok": oks,
+                }
+            )
+
+    return wins.mapInPandas(run, AUDIO_WINDOW_SCHEMA)

@@ -589,3 +589,50 @@ def test_sample_video_frames_plumbing_and_determinism(spark):
     assert {(r["media_ref"], r["frame_idx"], tuple(r["feature"] or [])) for r in again} == {
         (r["media_ref"], r["frame_idx"], tuple(r["feature"] or [])) for r in out
     }
+
+
+def test_extract_audio_windows_plumbing(spark):
+    from merge_machine_spark.functions.multimodal import extract_audio_windows
+
+    media = spark.createDataFrame(
+        [("a://song", 2.75), ("a://blip", 1.0), ("m!//needs-codec", 2.0), ("a://empty", 0.0)],
+        "media_ref string, duration_s double",
+    )
+    out = extract_audio_windows(media, window_s=1.0, sample_rate=16000).collect()
+    # JVM-side explode: ceil(2.75)=3 + 1 + 2 windows; zero-duration rows dropped
+    assert len(out) == 6
+    song = sorted((r for r in out if r["media_ref"] == "a://song"), key=lambda r: r["win_idx"])
+    assert [(r["t_start_s"], r["t_end_s"]) for r in song] == [(0.0, 1.0), (1.0, 2.0), (2.0, 2.75)]
+    # the partial tail reports its true sample count
+    assert [r["n_samples"] for r in song] == [16000, 16000, 12000]
+    assert all(r["decode_ok"] and r["sample_rate"] == 16000 for r in song)
+    # different windows of one clip get different pseudo-PCM
+    assert len({(r["energy"], r["zero_crossings"]) for r in song}) == 3
+    # refs demanding a real codec fail honestly, never a task failure
+    bad = [r for r in out if r["media_ref"] == "m!//needs-codec"]
+    assert len(bad) == 2 and all((not r["decode_ok"]) and r["energy"] is None for r in bad)
+
+
+def test_audio_features_match_bruteforce_tile():
+    """The closed-form whole-window features (seed quantities x tile count
+    + boundary terms) must equal a brute-force pass over the actually-tiled
+    signal — this is what licenses computing on the 32-sample seed only."""
+    import numpy as np
+
+    from merge_machine_spark.functions.multimodal import AUDIO_SEED_LEN, _audio_stub
+
+    for ref, idx, n in [("a://song", 0, 16000), ("a://song", 2, 12000), ("a://x", 7, 4000)]:
+        seed = _audio_stub(ref, idx)
+        tiles = n // AUDIO_SEED_LEN
+        full = np.tile(seed, tiles)
+        # closed forms (as computed in extract_audio_windows.run)
+        energy = int(np.sum(seed * seed)) * tiles
+        nonneg = seed >= 0
+        zc_seed = int(np.count_nonzero(nonneg[1:] != nonneg[:-1]))
+        zc = zc_seed * tiles + int(nonneg[0] != nonneg[-1]) * (tiles - 1)
+        rms = float(np.sqrt(energy / float(n)))
+        # brute force over the full tiled signal
+        assert energy == int(np.sum(full * full))
+        fn = full >= 0
+        assert zc == int(np.count_nonzero(fn[1:] != fn[:-1]))
+        assert abs(rms - float(np.sqrt(np.mean(full.astype(np.float64) ** 2)))) < 1e-9

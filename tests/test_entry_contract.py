@@ -23,6 +23,7 @@ SAMPLE = [
     "fp_near_dup_pairs",
     "media_stub_meta",
     "frame_sample_meta",
+    "audio_window_meta",
 ]
 
 
