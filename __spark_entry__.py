@@ -32,6 +32,13 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 _TOKEN_SPLIT = r"[^a-z0-9]+"
 
 
+def _ev_us(col: str) -> "F.Column":
+    """tz-independent epoch-microseconds (parity with DuckDB epoch_us)."""
+    from merge_machine_spark.operators.temporal import epoch_us
+
+    return epoch_us(col)
+
+
 def _tokens(spark, sf_dir) -> DataFrame:
     """(doc_id, token) distinct — J1's exploded token table (SURVEY §2.3)."""
     docs = _t(spark, sf_dir, "documents")
@@ -1229,6 +1236,239 @@ FROM n
 """
 
 
+def q_sessionize_events(spark, sf_dir):
+    """Gap-based sessionization over the event log (operators/temporal.py):
+    a new session starts after >8h of per-user inactivity; per-session
+    rollup with exact epoch-us bounds and a decimal value sum. One shuffle
+    on user_id, everything else window expressions in codegen."""
+    from merge_machine_spark.operators.temporal import session_stats, sessionize
+
+    ev = _t(spark, sf_dir, "events")
+    s = sessionize(ev, key_col="user_id", ts_col="ts", gap_us=8 * 3600 * 1_000_000, tie_cols=("event_id",))
+    return session_stats(s, key_col="user_id", ts_col="ts", value_col="value")
+
+
+SQL_SESSIONIZE = """
+WITH lagd AS (
+  SELECT user_id, ts, event_id, value,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM events),
+flag AS (
+  SELECT *, CASE WHEN prev IS NULL
+                   OR date_diff('microsecond', prev, ts) > 28800000000
+                 THEN 1 ELSE 0 END AS ns
+  FROM lagd),
+sess AS (
+  SELECT *, CAST(sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
+  FROM flag)
+SELECT user_id, session_idx, count(*) AS n_events,
+       min(epoch_us(ts)) AS start_us, max(epoch_us(ts)) AS end_us,
+       (max(epoch_us(ts)) - min(epoch_us(ts))) // 1000 AS duration_ms,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM sess GROUP BY user_id, session_idx
+"""
+
+
+def q_asof_click_view(spark, sf_dir):
+    """Backward-inclusive as-of join (operators/temporal.py): each click
+    picks the same user's most recent view at-or-before it. Union+window
+    formulation — one shuffle on user_id, no range-join pair explosion."""
+    from merge_machine_spark.operators.temporal import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    views = ev.filter(F.col("event_type") == "view").select("user_id", "ts", "event_id")
+    out = asof_join(
+        clicks,
+        views,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="ts",
+        right_cols=["event_id"],
+        left_tie_cols=("event_id",),
+        right_tie_cols=("event_id",),
+        prefix="view_",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        _ev_us("ts").alias("click_us"),
+        "view_event_id",
+        "view_ts_us",
+        (_ev_us("ts") - F.col("view_ts_us")).alias("lag_us"),
+    )
+
+
+SQL_ASOF = """
+WITH u AS (
+  SELECT user_id, ts, event_id, 0 AS tag, event_id AS v_id, epoch_us(ts) AS v_us
+  FROM events WHERE event_type = 'view'
+  UNION ALL
+  SELECT user_id, ts, event_id, 1, NULL, NULL
+  FROM events WHERE event_type = 'click'),
+w AS (
+  SELECT *,
+         last_value(v_id IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts, tag, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS view_event_id,
+         last_value(v_us IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts, tag, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS view_ts_us
+  FROM u)
+SELECT event_id, user_id, epoch_us(ts) AS click_us, view_event_id, view_ts_us,
+       epoch_us(ts) - view_ts_us AS lag_us
+FROM w WHERE tag = 1
+"""
+
+
+def q_dedup_keep_best(spark, sf_dir):
+    """End-to-end near-dup dedup with canonical selection: token-Jaccard
+    >= 0.8 pairs over blocked candidates -> connected components ->
+    keep-best representative per cluster (longest doc, ties lowest id).
+    The full training-data dedup loop in one query; ids compared as strings
+    (CC's lexicographic min-label), canonical id re-cast to BIGINT."""
+    from merge_machine_spark.operators.clustering import (
+        assignments_with_singletons,
+        canonical_per_cluster,
+        connected_components,
+    )
+
+    jac = q_pair_token_jaccard(spark, sf_dir)
+    edges = jac.filter(F.col("jaccard_e6") >= 800000).select(
+        F.col("id_a").cast("string").alias("id_a"),
+        F.col("id_b").cast("string").alias("id_b"),
+    )
+    cc = connected_components(edges)
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("doc_id"), "n_chars"
+    )
+    assigns = assignments_with_singletons(docs, cc)
+    best = canonical_per_cluster(docs, assigns, prefer_col="n_chars", id_col="doc_id")
+    return best.select(
+        "cluster_id",
+        F.col("canonical_id").cast("bigint").alias("canonical_id"),
+        "n_members",
+        "best_n_chars",
+    )
+
+
+SQL_DEDUP_KEEP_BEST = f"""
+WITH RECURSIVE
+jac AS ({SQL_PAIR_JACCARD}),
+edges AS (
+  SELECT DISTINCT least(CAST(id_a AS VARCHAR), CAST(id_b AS VARCHAR)) AS u,
+                  greatest(CAST(id_a AS VARCHAR), CAST(id_b AS VARCHAR)) AS v
+  FROM jac WHERE jaccard_e6 >= 800000),
+und AS (SELECT u AS n, v AS m FROM edges UNION SELECT v, u FROM edges),
+reach(n, r) AS (
+  SELECT n, n FROM (SELECT DISTINCT n FROM und)
+  UNION
+  SELECT und.n, reach.r FROM und JOIN reach ON und.m = reach.n),
+comp AS (SELECT n AS doc_id, min(r) AS cluster_id FROM reach GROUP BY n),
+allc AS (
+  SELECT CAST(d.doc_id AS VARCHAR) AS doc_id,
+         coalesce(c.cluster_id, CAST(d.doc_id AS VARCHAR)) AS cluster_id,
+         d.n_chars
+  FROM documents d LEFT JOIN comp c ON c.doc_id = CAST(d.doc_id AS VARCHAR)),
+mx AS (SELECT cluster_id, count(*) AS n_members, max(n_chars) AS best_n_chars
+       FROM allc GROUP BY cluster_id),
+win AS (
+  SELECT a.cluster_id, min(a.doc_id) AS canonical_s
+  FROM allc a JOIN mx m ON m.cluster_id = a.cluster_id AND a.n_chars = m.best_n_chars
+  GROUP BY a.cluster_id)
+SELECT m.cluster_id, CAST(w.canonical_s AS BIGINT) AS canonical_id,
+       m.n_members, m.best_n_chars
+FROM mx m JOIN win w ON w.cluster_id = m.cluster_id
+"""
+
+
+def q_train_test_split(spark, sf_dir):
+    """Deterministic salted-md5 hash split (functions/sampling.py): pure
+    projection, no shuffle, reproducible on any engine that has md5 — the
+    DuckDB oracle recomputes the identical buckets."""
+    from merge_machine_spark.functions.sampling import train_test_split
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    return train_test_split(docs, "doc_id", train_pct=80, salt="split")
+
+
+SQL_SPLIT = """
+WITH b AS (
+  SELECT doc_id, lang,
+         CAST(concat('0x', substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS bucket
+  FROM documents)
+SELECT doc_id, lang, bucket,
+       CASE WHEN bucket < 80 THEN 'train' ELSE 'test' END AS split
+FROM b
+"""
+
+
+def q_stratified_sample(spark, sf_dir):
+    """Per-stratum deterministic downsampling (functions/sampling.py):
+    rebalance the language mix (keep 25% of dominant en, 50% zh, all
+    fr/de/es) with a salted-hash filter — no shuffle, no count pass."""
+    from merge_machine_spark.functions.sampling import hash_bucket, stratified_sample
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    kept = stratified_sample(
+        docs, "doc_id", "lang",
+        rates_pct={"en": 25, "zh": 50, "fr": 100, "de": 100, "es": 100},
+        default_pct=0, salt="sample",
+    )
+    return kept.withColumn("bucket", hash_bucket("doc_id", "sample"))
+
+
+SQL_STRATIFIED = """
+WITH b AS (
+  SELECT doc_id, lang,
+         CAST(concat('0x', substr(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS bucket
+  FROM documents)
+SELECT doc_id, lang, bucket
+FROM b
+WHERE bucket < CASE lang WHEN 'en' THEN 25 WHEN 'zh' THEN 50
+                         WHEN 'fr' THEN 100 WHEN 'de' THEN 100
+                         WHEN 'es' THEN 100 ELSE 0 END
+"""
+
+
+def q_split_contamination(spark, sf_dir):
+    """Train/test decontamination (functions/fingerprint.py): for every
+    TEST doc of the salted-md5 80/20 split, count its winnowed fingerprints
+    that also occur anywhere in TRAIN; contaminated at >= 2 shared. The
+    train side collapses to a DISTINCT fp set before the semi join, so a
+    boilerplate fp shared by 10^6 train docs is one build-side row — the
+    join can't explode at corpus scale."""
+    from merge_machine_spark.functions.fingerprint import split_contamination, winnowing_fingerprints
+    from merge_machine_spark.functions.sampling import train_test_split
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    fps = winnowing_fingerprints(docs, k=3, w=4)
+    split = train_test_split(docs.select("doc_id"), "doc_id", train_pct=80, salt="split")
+    return split_contamination(fps, split, min_shared=2)
+
+
+SQL_SPLIT_CONTAMINATION = f"""
+WITH fps AS ({SQL_WINNOWING}),
+b AS (
+  SELECT doc_id,
+         CAST(concat('0x', substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS bucket
+  FROM documents),
+s AS (SELECT doc_id, CASE WHEN bucket < 80 THEN 'train' ELSE 'test' END AS split FROM b),
+train_fp AS (
+  SELECT DISTINCT fp FROM fps JOIN s ON fps.doc_id = s.doc_id WHERE s.split = 'train'),
+test_fp AS (
+  SELECT fps.doc_id, fp FROM fps JOIN s ON fps.doc_id = s.doc_id WHERE s.split = 'test'),
+shared AS (
+  SELECT doc_id, count(*) AS n_shared_fps
+  FROM test_fp WHERE fp IN (SELECT fp FROM train_fp)
+  GROUP BY doc_id)
+SELECT s.doc_id,
+       coalesce(n_shared_fps, 0) AS n_shared_fps,
+       coalesce(n_shared_fps, 0) >= 2 AS contaminated
+FROM s LEFT JOIN shared ON shared.doc_id = s.doc_id
+WHERE s.split = 'test'
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "scan_clean_project": q_scan_clean_project,
@@ -1263,6 +1503,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "majority_vote_user": q_majority_vote_user,
         "media_stub_meta": q_media_stub_meta,
         "audio_window_meta": q_audio_window_meta,
+        "sessionize_events": q_sessionize_events,
+        "asof_click_view": q_asof_click_view,
+        "dedup_keep_best": q_dedup_keep_best,
+        "train_test_split": q_train_test_split,
+        "stratified_sample": q_stratified_sample,
+        "split_contamination": q_split_contamination,
         # rows-only (non-SQL-expressible; pytest oracles)
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "french_analyzer_tokens": q_french_analyzer_tokens,
@@ -1313,4 +1559,10 @@ def oracle_sql() -> dict[str, str]:
         "fp_near_dup_pairs": SQL_FP_NEAR_DUP,
         "frame_sample_meta": SQL_FRAME_SAMPLE,
         "audio_window_meta": SQL_AUDIO_WINDOW,
+        "sessionize_events": SQL_SESSIONIZE,
+        "asof_click_view": SQL_ASOF,
+        "dedup_keep_best": SQL_DEDUP_KEEP_BEST,
+        "train_test_split": SQL_SPLIT,
+        "stratified_sample": SQL_STRATIFIED,
+        "split_contamination": SQL_SPLIT_CONTAMINATION,
     }

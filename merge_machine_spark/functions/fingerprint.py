@@ -92,6 +92,52 @@ def winnowing_fingerprints(
     return fps.withColumn("doc_fp_count", F.count(F.lit(1)).over(Window.partitionBy("doc_id")))
 
 
+def split_contamination(
+    fps: DataFrame,
+    split: DataFrame,
+    min_shared: int = 2,
+    train_label: str = "train",
+    test_label: str = "test",
+) -> DataFrame:
+    """Train/test decontamination report: for every TEST document, how many
+    of its winnowed fingerprints also occur anywhere in the TRAIN split,
+    and a ``contaminated`` verdict at ``min_shared`` — the standard
+    eval-leakage check before training on a deduped corpus.
+
+    Inputs: ``fps`` (doc_id, fp) from :func:`winnowing_fingerprints` (or a
+    StageStore checkpoint of it — compute once, reuse for dedup AND
+    decontamination); ``split`` (doc_id, split) from
+    ``sampling.train_test_split``. Output: one row per test doc
+    (doc_id, n_shared_fps, contaminated) — docs with no fingerprints (too
+    short for a full window) report 0 / false.
+
+    Scale shape: the train side collapses to a DISTINCT fp set before the
+    join, so a boilerplate fingerprint shared by 10^6 train docs is ONE row
+    on the build side — the semi join can't explode, and per-test-doc
+    counting is a plain hash aggregate. One shuffle on fp, one on doc_id."""
+    s = split.select("doc_id", "split")
+    f = fps.select("doc_id", "fp")
+    train_fp = (
+        f.join(s.filter(F.col("split") == train_label), "doc_id").select("fp").distinct()
+    )
+    test_fp = f.join(s.filter(F.col("split") == test_label), "doc_id")
+    shared = (
+        test_fp.join(train_fp, "fp", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared_fps"))
+    )
+    return (
+        s.filter(F.col("split") == test_label)
+        .select("doc_id")
+        .join(shared, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_shared_fps", F.lit(0)).alias("n_shared_fps"),
+            (F.coalesce("n_shared_fps", F.lit(0)) >= F.lit(int(min_shared))).alias("contaminated"),
+        )
+    )
+
+
 def fp_near_dup_pairs(
     docs: DataFrame,
     k: int = 3,

@@ -122,6 +122,60 @@ def assignments_with_singletons(docs: DataFrame, assignments: DataFrame, id_col:
     return assignments.unionByName(singles)
 
 
+def canonical_per_cluster(
+    docs: DataFrame,
+    assignments: DataFrame,
+    prefer_col: str,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Pick one canonical document per cluster: the member with the highest
+    ``prefer_col`` (ties: lowest id). The keep-best half of near-dup dedup —
+    after clustering, drop everything but the canonical representative.
+
+    Returns (cluster_id, canonical_id, n_members, best_<prefer_col>). One
+    shuffle on cluster_id; the pick is a plain max-struct aggregate (map-side
+    partial, hub-safe — a 10^8-member cluster is a scalar agg, not an array).
+    Negating the id inside the max-struct turns "lowest id" into the struct
+    max's natural order, so no window/sort is needed."""
+    from pyspark.sql.types import LongType
+
+    j = assignments.select(F.col("doc_id").alias("__id"), "cluster_id").join(
+        docs.select(F.col(id_col).alias("__id"), F.col(prefer_col).alias("__pref")), "__id"
+    )
+    neg_id = (
+        -F.col("__id") if isinstance(j.schema["__id"].dataType, LongType) else F.col("__id")
+    )
+    # string ids: lowest id = lexicographic min; max-of-struct can't negate a
+    # string, so fall back to (pref, reversed-rank-by-window-free trick) —
+    # use min over a struct with inverted preference instead.
+    if isinstance(j.schema["__id"].dataType, LongType):
+        best = j.groupBy("cluster_id").agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.max(F.struct(F.col("__pref"), neg_id.alias("__nid"))).alias("__b"),
+        )
+        return best.select(
+            "cluster_id",
+            (-F.col("__b.__nid")).alias("canonical_id"),
+            "n_members",
+            F.col("__b.__pref").alias(f"best_{prefer_col}"),
+        )
+    # generic path (string ids): min over (negated numeric preference is not
+    # available either if pref is non-numeric) — use a two-pass max-then-min.
+    mx = j.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("n_members"), F.max("__pref").alias(f"best_{prefer_col}")
+    )
+    winners = j.join(
+        mx.select("cluster_id", F.col(f"best_{prefer_col}").alias("__pref")),
+        ["cluster_id", "__pref"],
+    )
+    return (
+        winners.groupBy("cluster_id")
+        .agg(F.min("__id").alias("canonical_id"))
+        .join(mx, "cluster_id")
+        .select("cluster_id", "canonical_id", "n_members", f"best_{prefer_col}")
+    )
+
+
 def pairwise_f1(assignments: DataFrame, truth: DataFrame) -> dict:
     """Pairwise precision/recall/F1 of predicted clusters vs ground truth.
 
