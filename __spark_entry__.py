@@ -1469,6 +1469,77 @@ WHERE s.split = 'test'
 """
 
 
+def q_repetition_stats(spark, sf_dir):
+    """Gopher-style within-document repetition signals
+    (functions/quality.py): distinct-token fraction, most-frequent-bigram
+    share, duplicated-trigram share — the standard repetitious-text filter
+    in training-data curation, integer-e6 exact so DuckDB replays it
+    bit-for-bit. N-gram construction is an array projection in codegen;
+    the counts are two map-side-combinable hash aggregates."""
+    from merge_machine_spark.functions.quality import repetition_stats
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return repetition_stats(docs, top_n=2, dup_n=3)
+
+
+SQL_REPETITION = """
+WITH t AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(coalesce(text,'')), '[^a-z0-9]+'), x -> x <> '') AS toks
+  FROM documents),
+b AS (
+  SELECT doc_id, len(toks) AS n_tokens, len(list_distinct(toks)) AS n_uniq,
+         CASE WHEN len(toks) >= 2 THEN
+           list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])
+         ELSE [] END AS g2,
+         CASE WHEN len(toks) >= 3 THEN
+           list_transform(range(1, len(toks) - 1), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+         ELSE [] END AS g3
+  FROM t),
+c2 AS (SELECT doc_id, g, count(*) AS c FROM (SELECT doc_id, unnest(g2) AS g FROM b) GROUP BY 1, 2),
+a2 AS (SELECT doc_id, max(c) AS top_count, sum(c) AS total2 FROM c2 GROUP BY 1),
+c3 AS (SELECT doc_id, g, count(*) AS c FROM (SELECT doc_id, unnest(g3) AS g FROM b) GROUP BY 1, 2),
+a3 AS (SELECT doc_id, sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup_hits, sum(c) AS total3 FROM c3 GROUP BY 1)
+SELECT b.doc_id, n_tokens,
+       (CAST(n_uniq AS BIGINT) * 1000000) // greatest(n_tokens, 1) AS uniq_token_frac_e6,
+       coalesce(top_count, 0) AS top_2gram_count,
+       CAST((coalesce(top_count, 0) * 1000000) // greatest(coalesce(total2, 0), 1) AS BIGINT) AS top_2gram_frac_e6,
+       CAST((coalesce(dup_hits, 0) * 1000000) // greatest(coalesce(total3, 0), 1) AS BIGINT) AS dup_3gram_frac_e6
+FROM b LEFT JOIN a2 ON a2.doc_id = b.doc_id LEFT JOIN a3 ON a3.doc_id = b.doc_id
+"""
+
+
+def q_doc_chunks(spark, sf_dir):
+    """Fixed-token-budget document chunking for model context windows
+    (functions/quality.py): 16-token chunks with 4-token overlap, last
+    chunk short. A pure posexplode projection — zero shuffles, chunks at
+    scan speed at any corpus size."""
+    from merge_machine_spark.functions.quality import chunk_documents
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return chunk_documents(docs, chunk_tokens=16, overlap=4)
+
+
+SQL_DOC_CHUNKS = """
+WITH t AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(coalesce(text,'')), '[^a-z0-9]+'), x -> x <> '') AS toks
+  FROM documents),
+n AS (SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) > 0),
+idx AS (
+  SELECT doc_id, toks,
+         unnest(range(0, greatest(CAST(floor((n - 4 - 1) / 12.0) AS BIGINT) + 1, 1))) AS chunk_idx
+  FROM n),
+c AS (
+  SELECT doc_id, chunk_idx,
+         list_slice(toks, chunk_idx * 12 + 1, chunk_idx * 12 + 16) AS ch
+  FROM idx)
+SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
+       len(ch) AS chunk_n_tokens, array_to_string(ch, ' ') AS chunk_text
+FROM c
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "scan_clean_project": q_scan_clean_project,
@@ -1509,6 +1580,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "train_test_split": q_train_test_split,
         "stratified_sample": q_stratified_sample,
         "split_contamination": q_split_contamination,
+        "repetition_stats": q_repetition_stats,
+        "doc_chunks": q_doc_chunks,
         # rows-only (non-SQL-expressible; pytest oracles)
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "french_analyzer_tokens": q_french_analyzer_tokens,
@@ -1565,4 +1638,6 @@ def oracle_sql() -> dict[str, str]:
         "train_test_split": SQL_SPLIT,
         "stratified_sample": SQL_STRATIFIED,
         "split_contamination": SQL_SPLIT_CONTAMINATION,
+        "repetition_stats": SQL_REPETITION,
+        "doc_chunks": SQL_DOC_CHUNKS,
     }
