@@ -800,16 +800,15 @@ def q_minhash_lsh_pairs(spark, sf_dir):
     return lsh_candidate_pairs(docs, "doc_id", A.n_grams(F.col("text")), bands=8, rows=4)
 
 
-def q_simhash_buckets(spark, sf_dir):
-    """SimHash near-dup buckets: 16-bit signature from per-token bit votes.
+def _simhash16_expr() -> "F.Column":
+    """16-bit SimHash signature from per-token bit votes over ``text``.
     Bit i of a token = parity of hex digit i of md5(token) — chosen because
-    BOTH engines compute it identically, which upgrades this entry from
-    rows-only to a full DuckDB oracle (VERDICT r1 #9). md5 in a Spark
-    expression anti-scales with threads (synchronized Provider lookup);
-    production SimHash should use xxhash64 — the bucketing semantics under
-    test are hash-agnostic."""
-    docs = _t(spark, sf_dir, "documents")
+    BOTH engines compute it identically (full DuckDB oracle). md5 in a
+    Spark expression anti-scales with threads (synchronized Provider
+    lookup); production SimHash should use xxhash64 — the bucketing/banding
+    semantics under test are hash-agnostic."""
     toks = F.filter(F.split(F.lower(F.coalesce(F.col("text"), F.lit(""))), _TOKEN_SPLIT), lambda t: t != F.lit(""))
+
     def bit_at(i):
         # NB: a one-arg lambda is required — a default-arg capture (lambda
         # t, i=i: ...) reads as a two-arg (element, index) HOF lambda
@@ -820,7 +819,14 @@ def q_simhash_buckets(spark, sf_dir):
         mask = 1 << i
         vote = F.size(F.filter(toks, bit_at(i))) * 2 > F.size(toks)
         sig = sig + F.when(vote, F.lit(mask)).otherwise(F.lit(0))
-    out = docs.select("doc_id", sig.cast("bigint").alias("simhash16"))
+    return sig.cast("bigint")
+
+
+def q_simhash_buckets(spark, sf_dir):
+    """SimHash near-dup buckets: 16-bit signature from per-token bit votes
+    (see _simhash16_expr; VERDICT r1 #9 upgraded this to a full oracle)."""
+    docs = _t(spark, sf_dir, "documents")
+    out = docs.select("doc_id", _simhash16_expr().alias("simhash16"))
     return out.withColumn("bucket_n", F.count(F.lit(1)).over(Window.partitionBy("simhash16")))
 
 
@@ -1540,6 +1546,141 @@ FROM c
 """
 
 
+def q_simhash_near_dup(spark, sf_dir):
+    """SimHash near-dup PAIRS — completes the SimHash dedup path (buckets
+    exist as `simhash_buckets`): band the 16-bit signature into 4 x 4-bit
+    bands, candidate docs share >= 1 band (LSH guarantee: hamming <= 3
+    implies >= 1 untouched band), verify bit_count(xor) <= 3. Hot-band cap
+    (<= 200 docs per band value) keeps any join group bounded — at
+    production scale the signature is 64-bit with 4 x 16-bit bands, same
+    plan shape. Everything JVM-side: band explode is an array projection,
+    the join is an equi hash join, hamming is a codegen bit op."""
+    docs = _t(spark, sf_dir, "documents")
+    sig = docs.select("doc_id", _simhash16_expr().alias("simhash16"))
+    bands = sig.select(
+        "doc_id",
+        "simhash16",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("b"),
+                    F.shiftright("simhash16", 4 * b).bitwiseAND(F.lit(15)).alias("val"),
+                )
+                for b in range(4)
+            ])
+        ).alias("bd"),
+    ).select("doc_id", "simhash16", "bd.b", "bd.val")
+    ok = bands.withColumn(
+        "__n", F.count(F.lit(1)).over(Window.partitionBy("b", "val"))
+    ).filter(F.col("__n") <= 200)
+    a = ok.select("b", "val", F.col("doc_id").alias("doc_a"), F.col("simhash16").alias("__sa"))
+    bb = ok.select("b", "val", F.col("doc_id").alias("doc_b"), F.col("simhash16").alias("__sb"))
+    pairs = (
+        a.join(bb, ["b", "val"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.bit_count(F.col("__sa").bitwiseXOR(F.col("__sb"))).alias("hamming"),
+        )
+        .distinct()
+    )
+    return pairs.filter(F.col("hamming") <= 3)
+
+
+_SQL_SIMHASH_SIG = SQL_SIMHASH[: SQL_SIMHASH.index("SELECT doc_id, simhash16, count(*)")]
+
+SQL_SIMHASH_NEAR_DUP = f"""
+{_SQL_SIMHASH_SIG.rstrip()},
+bands AS (
+  SELECT doc_id, simhash16, t.b AS b,
+         (simhash16 // (CASE t.b WHEN 0 THEN 1 WHEN 1 THEN 16 WHEN 2 THEN 256 ELSE 4096 END)) % 16 AS val
+  FROM sig, unnest([0, 1, 2, 3]) AS t(b)),
+ok AS (
+  SELECT * FROM bands QUALIFY count(*) OVER (PARTITION BY b, val) <= 200),
+p AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b,
+         bit_count(xor(a.simhash16, b2.simhash16)) AS hamming
+  FROM ok a JOIN ok b2 ON a.b = b2.b AND a.val = b2.val AND a.doc_id < b2.doc_id)
+SELECT doc_a, doc_b, CAST(hamming AS INT) AS hamming FROM p WHERE hamming <= 3
+"""
+
+
+def q_golden_record(spark, sf_dir):
+    """Survivorship / golden-record merge (operators/clustering.py
+    merge_clusters): the dirty-to-clean endgame — near-dup clusters
+    (token-Jaccard >= 0.8 -> connected components -> singletons) collapse
+    to ONE clean row each: majority-vote lang and source (ties smallest),
+    canonical member = longest doc (ties lowest id). Every pick is a scalar
+    aggregate (min/max-of-struct), hub-safe, no windows."""
+    from merge_machine_spark.operators.clustering import (
+        assignments_with_singletons,
+        connected_components,
+        merge_clusters,
+    )
+
+    jac = q_pair_token_jaccard(spark, sf_dir)
+    edges = jac.filter(F.col("jaccard_e6") >= 800000).select(
+        F.col("id_a").cast("string").alias("id_a"),
+        F.col("id_b").cast("string").alias("id_b"),
+    )
+    cc = connected_components(edges)
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("doc_id"), "n_chars", "lang", "source"
+    )
+    assigns = assignments_with_singletons(docs, cc)
+    out = merge_clusters(docs, assigns, vote_cols=["lang", "source"], prefer_col="n_chars")
+    return out.select(
+        "cluster_id",
+        F.col("canonical_id").cast("bigint").alias("canonical_id"),
+        "n_members",
+        "best_n_chars",
+        "lang_mode",
+        "source_mode",
+    )
+
+
+SQL_GOLDEN_RECORD = f"""
+WITH RECURSIVE
+jac AS ({SQL_PAIR_JACCARD}),
+edges AS (
+  SELECT DISTINCT least(CAST(id_a AS VARCHAR), CAST(id_b AS VARCHAR)) AS u,
+                  greatest(CAST(id_a AS VARCHAR), CAST(id_b AS VARCHAR)) AS v
+  FROM jac WHERE jaccard_e6 >= 800000),
+und AS (SELECT u AS n, v AS m FROM edges UNION SELECT v, u FROM edges),
+reach(n, r) AS (
+  SELECT n, n FROM (SELECT DISTINCT n FROM und)
+  UNION
+  SELECT und.n, reach.r FROM und JOIN reach ON und.m = reach.n),
+comp AS (SELECT n AS doc_id, min(r) AS cluster_id FROM reach GROUP BY n),
+allc AS (
+  SELECT CAST(d.doc_id AS VARCHAR) AS doc_id,
+         coalesce(c.cluster_id, CAST(d.doc_id AS VARCHAR)) AS cluster_id,
+         d.n_chars, d.lang, d.source
+  FROM documents d LEFT JOIN comp c ON c.doc_id = CAST(d.doc_id AS VARCHAR)),
+mx AS (SELECT cluster_id, count(*) AS n_members, max(n_chars) AS best_n_chars
+       FROM allc GROUP BY cluster_id),
+win AS (
+  SELECT a.cluster_id, min(a.doc_id) AS canonical_s
+  FROM allc a JOIN mx m ON m.cluster_id = a.cluster_id AND a.n_chars = m.best_n_chars
+  GROUP BY a.cluster_id),
+lm AS (
+  SELECT cluster_id, lang AS lang_mode
+  FROM (SELECT cluster_id, lang, count(*) AS c FROM allc GROUP BY 1, 2)
+  QUALIFY row_number() OVER (PARTITION BY cluster_id ORDER BY c DESC, lang ASC) = 1),
+sm AS (
+  SELECT cluster_id, source AS source_mode
+  FROM (SELECT cluster_id, source, count(*) AS c FROM allc GROUP BY 1, 2)
+  QUALIFY row_number() OVER (PARTITION BY cluster_id ORDER BY c DESC, source ASC) = 1)
+SELECT m.cluster_id, CAST(w.canonical_s AS BIGINT) AS canonical_id,
+       m.n_members, m.best_n_chars, lm.lang_mode, sm.source_mode
+FROM mx m
+JOIN win w ON w.cluster_id = m.cluster_id
+JOIN lm ON lm.cluster_id = m.cluster_id
+JOIN sm ON sm.cluster_id = m.cluster_id
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "scan_clean_project": q_scan_clean_project,
@@ -1582,6 +1723,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_contamination": q_split_contamination,
         "repetition_stats": q_repetition_stats,
         "doc_chunks": q_doc_chunks,
+        "simhash_near_dup": q_simhash_near_dup,
+        "golden_record": q_golden_record,
         # rows-only (non-SQL-expressible; pytest oracles)
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "french_analyzer_tokens": q_french_analyzer_tokens,
@@ -1640,4 +1783,6 @@ def oracle_sql() -> dict[str, str]:
         "split_contamination": SQL_SPLIT_CONTAMINATION,
         "repetition_stats": SQL_REPETITION,
         "doc_chunks": SQL_DOC_CHUNKS,
+        "simhash_near_dup": SQL_SIMHASH_NEAR_DUP,
+        "golden_record": SQL_GOLDEN_RECORD,
     }

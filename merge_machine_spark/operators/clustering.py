@@ -176,6 +176,49 @@ def canonical_per_cluster(
     )
 
 
+def merge_clusters(
+    docs: DataFrame,
+    assignments: DataFrame,
+    vote_cols: list[str],
+    prefer_col: str,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Survivorship / golden-record merge: collapse each entity cluster to
+    ONE clean output row — the dirty-to-clean endgame of record linkage
+    (the reference's linkage produces matches; a consumer then merges them;
+    cf. es_linker's 1:<=1 link output, merge_machine/es_linker.py).
+
+    Field policy:
+      * ``vote_cols``: per-cluster MAJORITY value (ties: smallest value) —
+        e.g. lang, source, country. Computed as a (cluster, value) count
+        then a min-of-struct((-count, value)) pick: one scalar aggregate,
+        hub-safe (a 10^8-member cluster is never an array), map-side
+        combinable, and deterministic.
+      * ``prefer_col``: the canonical representative's pick via
+        :func:`canonical_per_cluster` (highest value wins, ties lowest id)
+        — e.g. keep the longest member's text.
+
+    Returns (cluster_id, canonical_id, n_members, best_<prefer_col>,
+    <c>_mode for each vote col). Shuffles: one per vote col keyed
+    (cluster_id, value) + one on cluster_id each — all partial-agg
+    combinable; no windows, no collects.
+    """
+    best = canonical_per_cluster(docs, assignments, prefer_col=prefer_col, id_col=id_col)
+    a = assignments.select(F.col("doc_id").alias("__id"), "cluster_id")
+    out = best
+    for c in vote_cols:
+        votes = (
+            a.join(docs.select(F.col(id_col).alias("__id"), c), "__id")
+            .groupBy("cluster_id", c)
+            .agg(F.count(F.lit(1)).alias("__c"))
+            .groupBy("cluster_id")
+            .agg(F.min(F.struct((-F.col("__c")).alias("__neg"), F.col(c))).alias("__m"))
+            .select("cluster_id", F.col(f"__m.{c}").alias(f"{c}_mode"))
+        )
+        out = out.join(votes, "cluster_id")
+    return out
+
+
 def pairwise_f1(assignments: DataFrame, truth: DataFrame) -> dict:
     """Pairwise precision/recall/F1 of predicted clusters vs ground truth.
 
