@@ -1681,6 +1681,39 @@ JOIN sm ON sm.cluster_id = m.cluster_id
 """
 
 
+def q_pack_sequences(spark, sf_dir):
+    """Example packing for pre-training batches (functions/quality.py):
+    concat-then-split at document boundaries — salted-md5 bucket, order by
+    id within bucket, running token offset, sequence = offset div budget.
+    ONE shuffle on bucket; buckets (not docs) are the parallelism unit."""
+    from merge_machine_spark.functions.quality import pack_documents
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    out = pack_documents(docs, budget_tokens=64, n_buckets=16)
+    return out.select(
+        "doc_id", "bucket", "seq_idx",
+        F.col("offset_in_seq").cast("bigint").alias("offset_in_seq"),
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+    )
+
+
+SQL_PACK = """
+WITH t AS (
+  SELECT doc_id,
+         len(list_filter(regexp_split_to_array(lower(coalesce(text,'')), '[^a-z0-9]+'), x -> x <> '')) AS n_tokens,
+         CAST(concat('0x', substr(md5('pack:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 16 AS bucket
+  FROM documents),
+s AS (
+  SELECT doc_id, bucket, n_tokens,
+         sum(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id
+                             ROWS UNBOUNDED PRECEDING) - n_tokens AS st
+  FROM t WHERE n_tokens > 0)
+SELECT doc_id, bucket, CAST(st // 64 AS INT) AS seq_idx,
+       CAST(st % 64 AS BIGINT) AS offset_in_seq, n_tokens
+FROM s
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "scan_clean_project": q_scan_clean_project,
@@ -1725,6 +1758,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_chunks": q_doc_chunks,
         "simhash_near_dup": q_simhash_near_dup,
         "golden_record": q_golden_record,
+        "pack_sequences": q_pack_sequences,
         # rows-only (non-SQL-expressible; pytest oracles)
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "french_analyzer_tokens": q_french_analyzer_tokens,
@@ -1785,4 +1819,5 @@ def oracle_sql() -> dict[str, str]:
         "doc_chunks": SQL_DOC_CHUNKS,
         "simhash_near_dup": SQL_SIMHASH_NEAR_DUP,
         "golden_record": SQL_GOLDEN_RECORD,
+        "pack_sequences": SQL_PACK,
     }

@@ -23,7 +23,7 @@ Scale shape:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 _TOKEN_SPLIT = r"[^a-z0-9]+"
@@ -127,6 +127,58 @@ def repetition_stats(
         )
     )
     return out
+
+
+def pack_documents(
+    docs: DataFrame,
+    budget_tokens: int,
+    n_buckets: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    salt: str = "pack",
+) -> DataFrame:
+    """Concat-then-split example packing: assign every document to a
+    training sequence of ~``budget_tokens`` tokens — the standard
+    pre-training batching step (short documents share a sequence instead of
+    wasting pad tokens).
+
+    Deterministic concat-then-split at document boundaries: docs hash into
+    ``n_buckets`` salted-md5 buckets (``sampling.hash_bucket`` — stable
+    under re-partitioning and engine migration), are ordered by id within
+    their bucket, and sequence ``k`` of a bucket holds the docs whose
+    cumulative START offset falls in ``[k*budget, (k+1)*budget)`` — greedy
+    fill; a sequence may overflow by the tail of its last doc (downstream
+    :func:`chunk_documents` splits oversized members), and the next doc
+    opens the next sequence. Empty docs are dropped.
+
+    Returns (id, bucket, seq_idx, offset_in_seq, n_tokens). Scale shape:
+    ONE shuffle on bucket; the per-bucket running sum is a window scan, and
+    buckets — not documents — are the parallelism unit, so skew is bounded
+    by corpus/n_buckets regardless of document sizes; raise ``n_buckets``
+    with the corpus (it only changes which docs share a sequence, never
+    correctness).
+    """
+    from .sampling import hash_bucket
+
+    toks = _tok_array(text_col)
+    base = docs.select(
+        F.col(id_col),
+        hash_bucket(id_col, salt, n_buckets=n_buckets).alias("bucket"),
+        F.size(toks).alias("n_tokens"),
+    ).filter(F.col("n_tokens") > 0)
+    w = Window.partitionBy("bucket").orderBy(id_col)
+    return base.select(
+        id_col,
+        "bucket",
+        "n_tokens",
+        (F.sum("n_tokens").over(w) - F.col("n_tokens")).alias("__start"),
+    ).select(
+        id_col,
+        "bucket",
+        F.expr(f"__start div {int(budget_tokens)}").cast("int").alias("seq_idx"),
+        F.expr(f"__start % {int(budget_tokens)}").alias("offset_in_seq"),
+        "n_tokens",
+    )
 
 
 def chunk_documents(

@@ -81,3 +81,31 @@ def test_chunk_rejects_bad_overlap(spark):
     docs = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
     with pytest.raises(ValueError):
         chunk_documents(docs, chunk_tokens=4, overlap=4)
+
+
+def test_pack_documents_fill_and_boundaries(spark):
+    """Within one bucket, docs fill sequences greedily in id order: the
+    running start offset determines the sequence, a long doc overflows its
+    sequence (never splits), and the next doc opens the next one."""
+    from merge_machine_spark.functions.quality import pack_documents
+
+    rows = [(i, " ".join(["w"] * n)) for i, n in [(1, 10), (2, 10), (3, 30), (4, 5), (5, 10)]]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in pack_documents(docs, budget_tokens=25, n_buckets=1).collect()}
+    # starts: 0, 10, 20, 50, 55 -> seqs 0, 0, 0 (overflows to 50), 2, 2
+    assert [got[i]["seq_idx"] for i in (1, 2, 3, 4, 5)] == [0, 0, 0, 2, 2]
+    assert [got[i]["offset_in_seq"] for i in (1, 2, 3, 4, 5)] == [0, 10, 20, 0, 5]
+    assert all(got[i]["bucket"] == got[1]["bucket"] for i in (2, 3, 4, 5))
+
+
+def test_pack_documents_drops_empty_and_buckets_disjoint(spark):
+    from merge_machine_spark.functions.quality import pack_documents
+
+    docs = spark.createDataFrame(
+        [(i, "a b c") for i in range(50)] + [(99, ""), (100, None)], "doc_id long, text string"
+    )
+    got = pack_documents(docs, budget_tokens=6, n_buckets=8).collect()
+    assert len(got) == 50  # empty/null dropped
+    assert {r["bucket"] for r in got} <= set(range(8))
+    # offsets restart per (bucket, seq): every offset < budget
+    assert all(0 <= r["offset_in_seq"] < 6 for r in got)
