@@ -1714,6 +1714,133 @@ FROM s
 """
 
 
+def q_pii_redaction(spark, sf_dir):
+    """PII detection + redaction (functions/pii.py): regex classes
+    (email/ipv4/phone) in the Java-regex ∩ RE2 subset, counts + flags +
+    placeholder-redacted text in ONE codegen projection — zero shuffles,
+    scan-speed at 100 TB. PII is laced deterministically from doc_id
+    (docs where doc_id % 4 == 0 stay clean) so detection, negation, and
+    redaction are all exercised; the oracle reproduces the lacing."""
+    from merge_machine_spark.functions.pii import pii_project
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    phone = F.concat(
+        F.lit(" call 555-"),
+        F.lpad((F.col("doc_id") % 1000).cast("string"), 3, "0"),
+        F.lit("-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+    )
+    laced = F.concat(
+        F.coalesce(F.col("text"), F.lit("")),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@mail-src.example from 10."),
+        (F.col("doc_id") % 200).cast("string"),
+        F.lit("."),
+        (F.col("doc_id") % 250).cast("string"),
+        F.lit("."),
+        (F.col("doc_id") % 100).cast("string"),
+        F.when(F.col("doc_id") % 3 == 0, phone).otherwise(F.lit("")),
+    )
+    base = docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 4 != 0, laced)
+        .otherwise(F.coalesce(F.col("text"), F.lit("")))
+        .alias("text"),
+    )
+    return pii_project(base)
+
+
+SQL_PII = r"""
+WITH laced AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 4 <> 0 THEN
+           coalesce(text, '') || ' contact user' || CAST(doc_id AS VARCHAR)
+           || '@mail-src.example from 10.' || CAST(doc_id % 200 AS VARCHAR)
+           || '.' || CAST(doc_id % 250 AS VARCHAR)
+           || '.' || CAST(doc_id % 100 AS VARCHAR)
+           || CASE WHEN doc_id % 3 = 0 THEN
+                ' call 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+                || '-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+              ELSE '' END
+         ELSE coalesce(text, '') END AS text
+  FROM documents),
+c AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT) AS n_email,
+         CAST(len(regexp_extract_all(text, '\b(?:\d{1,3}\.){3}\d{1,3}\b')) AS INT) AS n_ipv4,
+         CAST(len(regexp_extract_all(text, '\b\d{3}[- ]\d{3}[- ]\d{4}\b')) AS INT) AS n_phone,
+         regexp_replace(regexp_replace(regexp_replace(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             '\b(?:\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g'),
+             '\b\d{3}[- ]\d{3}[- ]\d{4}\b', '<PHONE>', 'g') AS text_redacted
+  FROM laced)
+SELECT doc_id, n_email, n_ipv4, n_phone,
+       (n_email > 0 OR n_ipv4 > 0 OR n_phone > 0) AS has_pii,
+       text_redacted
+FROM c
+"""
+
+
+def q_domain_cap(spark, sf_dir):
+    """URL normalize + host extract + per-domain cap (functions/urls.py):
+    the RefinedWeb-style guard against mega-domain dominance. Normalize
+    and host are pure regexp projections; the cap is ONE shuffle on
+    domain with a salted-md5-ordered row_number over ids only — the
+    surviving set is deterministic across runs/engines/partitionings.
+    URLs are synthesized deterministically from (source, doc_id) with
+    mixed case, scheme, www, query and fragment so every normalization
+    rule fires; the oracle reproduces them."""
+    from merge_machine_spark.functions.urls import (
+        cap_per_domain,
+        normalize_url,
+        url_host,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    with_url = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("HTTPS://WWW."),
+            F.upper(F.col("source")),
+            F.lit(".Example.COM/docs/"),
+            F.col("doc_id").cast("string"),
+            F.lit("/?utm_source=feed#frag"),
+        ).alias("url"),
+    )
+    normd = with_url.select(
+        "doc_id", normalize_url(F.col("url")).alias("url_norm")
+    ).withColumn("domain", url_host(F.col("url_norm")))
+    capped = cap_per_domain(normd, "domain", "doc_id", max_per_domain=15)
+    return capped.select("doc_id", "url_norm", "domain", "keep_rank")
+
+
+SQL_DOMAIN_CAP = r"""
+WITH u AS (
+  SELECT doc_id,
+         'https://www.' || lower(source) || '.example.com/docs/'
+         || CAST(doc_id AS VARCHAR) || '/?utm_source=feed#frag' AS url
+  FROM documents),
+n AS (
+  SELECT doc_id,
+         regexp_replace(regexp_replace(regexp_replace(regexp_replace(lower(url),
+           '^[a-z][a-z0-9+.-]*://', ''), '^www\.', ''), '[?#].*$', ''), '/+$', '') AS url_norm
+  FROM u),
+d AS (
+  SELECT doc_id, url_norm,
+         regexp_extract(url_norm, '^([^/]+)', 1) AS domain
+  FROM n),
+r AS (
+  SELECT doc_id, url_norm, domain,
+         row_number() OVER (PARTITION BY domain
+                            ORDER BY md5('domaincap:' || CAST(doc_id AS VARCHAR)), doc_id) AS rn
+  FROM d)
+SELECT doc_id, url_norm, domain, CAST(rn AS INT) AS keep_rank
+FROM r
+WHERE rn <= 15
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "scan_clean_project": q_scan_clean_project,
@@ -1759,6 +1886,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_near_dup": q_simhash_near_dup,
         "golden_record": q_golden_record,
         "pack_sequences": q_pack_sequences,
+        "pii_redaction": q_pii_redaction,
+        "domain_cap": q_domain_cap,
         # rows-only (non-SQL-expressible; pytest oracles)
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "french_analyzer_tokens": q_french_analyzer_tokens,
@@ -1820,4 +1949,6 @@ def oracle_sql() -> dict[str, str]:
         "simhash_near_dup": SQL_SIMHASH_NEAR_DUP,
         "golden_record": SQL_GOLDEN_RECORD,
         "pack_sequences": SQL_PACK,
+        "pii_redaction": SQL_PII,
+        "domain_cap": SQL_DOMAIN_CAP,
     }

@@ -122,6 +122,11 @@ def _decode_image_bytes(payload: bytes, Image=None) -> tuple[np.ndarray, int, in
         from io import BytesIO
 
         img = Image.open(BytesIO(payload))
+        # Image.open is lazy: force the full parse here so truncated or
+        # corrupt payloads raise inside the caller's try (-> decode_ok=False)
+        # rather than surfacing later mid-convert, and so .size reflects a
+        # fully-validated header.
+        img.load()
         width, height = img.size
         rgb = np.asarray(img.convert("RGB"), dtype=np.uint8)
     else:
