@@ -1841,6 +1841,91 @@ WHERE rn <= 15
 """
 
 
+def q_bpe_pair_counts(spark, sf_dir):
+    """BPE tokenizer-training iteration 0 (functions/bpe.py): ONE
+    corpus-scale pass (tokenize + explode + map-side-combinable word
+    count), then adjacent-character pair counts weighted by word frequency
+    over the VOCAB table — vocab-sized no matter the corpus, which is why
+    BPE training scales to 100 TB. Top-50 merge candidates with a
+    deterministic (count DESC, pair ASC) tie-break."""
+    from merge_machine_spark.functions.bpe import (
+        char_pair_counts,
+        corpus_word_counts,
+        top_pairs,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("text")
+    wc = corpus_word_counts(docs)
+    return top_pairs(char_pair_counts(wc), 50).select(
+        "pair", F.col("pair_count").cast("bigint").alias("pair_count")
+    )
+
+
+SQL_BPE_PAIRS = r"""
+WITH toks AS (
+  SELECT unnest(list_filter(regexp_split_to_array(lower(coalesce(text, '')), '[^a-z0-9]+'),
+                            x -> x <> '')) AS word
+  FROM documents),
+wc AS (SELECT word, count(*) AS wcount FROM toks GROUP BY word),
+pos AS (
+  SELECT word, wcount, unnest(range(1, len(word))) AS i
+  FROM wc WHERE len(word) >= 2),
+p AS (SELECT substr(word, CAST(i AS INT), 2) AS pair, wcount FROM pos)
+SELECT pair, CAST(sum(wcount) AS BIGINT) AS pair_count
+FROM p GROUP BY pair
+ORDER BY pair_count DESC, pair ASC
+LIMIT 50
+"""
+
+
+def q_domain_blocklist_filter(spark, sf_dir):
+    """Domain blocklist (functions/urls.py): derive the blocklist from the
+    corpus itself — the top-3 domains by doc count (the 'block dominating
+    spam domains' policy), deterministic (n_docs DESC, domain ASC) — then
+    broadcast LEFT ANTI join so the corpus side never shuffles. Returns
+    the surviving (doc_id, domain) rows."""
+    from merge_machine_spark.functions.urls import (
+        domain_stats,
+        filter_blocked_domains,
+        normalize_url,
+        url_host,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    with_domain = docs.select(
+        "doc_id",
+        url_host(
+            normalize_url(
+                F.concat(
+                    F.lit("https://www."),
+                    F.col("source"),
+                    F.lit(".example.com/docs/"),
+                    F.col("doc_id").cast("string"),
+                )
+            )
+        ).alias("domain"),
+    )
+    blocked = (
+        domain_stats(with_domain, "domain")
+        .orderBy(F.desc("n_docs"), F.asc("domain"))
+        .limit(3)
+    )
+    return filter_blocked_domains(with_domain, blocked, "domain")
+
+
+SQL_DOMAIN_BLOCKLIST = r"""
+WITH d AS (
+  SELECT doc_id, lower(source) || '.example.com' AS domain
+  FROM documents),
+blocked AS (
+  SELECT domain FROM d GROUP BY domain
+  ORDER BY count(*) DESC, domain ASC LIMIT 3)
+SELECT domain, doc_id
+FROM d
+WHERE domain NOT IN (SELECT domain FROM blocked)
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "scan_clean_project": q_scan_clean_project,
@@ -1888,6 +1973,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": q_pack_sequences,
         "pii_redaction": q_pii_redaction,
         "domain_cap": q_domain_cap,
+        "bpe_pair_counts": q_bpe_pair_counts,
+        "domain_blocklist_filter": q_domain_blocklist_filter,
         # rows-only (non-SQL-expressible; pytest oracles)
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "french_analyzer_tokens": q_french_analyzer_tokens,
@@ -1951,4 +2038,6 @@ def oracle_sql() -> dict[str, str]:
         "pack_sequences": SQL_PACK,
         "pii_redaction": SQL_PII,
         "domain_cap": SQL_DOMAIN_CAP,
+        "bpe_pair_counts": SQL_BPE_PAIRS,
+        "domain_blocklist_filter": SQL_DOMAIN_BLOCKLIST,
     }

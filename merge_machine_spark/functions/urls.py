@@ -85,3 +85,14 @@ def domain_stats(df: DataFrame, domain_col: str) -> DataFrame:
     """Per-domain doc counts — the table a blocklist/cap policy reads.
     Map-side-combinable hash aggregate; one shuffle on domain."""
     return df.groupBy(domain_col).agg(F.count(F.lit(1)).alias("n_docs"))
+
+
+def filter_blocked_domains(
+    df: DataFrame, blocklist: DataFrame, domain_col: str
+) -> DataFrame:
+    """Drop every row whose domain appears in ``blocklist`` (a one-column
+    DataFrame named ``domain_col``). Blocklists are small (10^4-10^6
+    domains) next to a 100 TB corpus, so broadcast the blocklist and
+    anti-join — no shuffle of the corpus side."""
+    b = F.broadcast(blocklist.select(domain_col).distinct())
+    return df.join(b, on=domain_col, how="left_anti")

@@ -92,6 +92,21 @@ def test_cap_per_domain_rejects_nonpositive_cap(spark):
         cap_per_domain(df, "domain", "doc_id", max_per_domain=0)
 
 
+def test_filter_blocked_domains_broadcast_anti(spark):
+    from merge_machine_spark.functions.urls import filter_blocked_domains
+
+    df = spark.createDataFrame(
+        [(1, "spam.com"), (2, "ok.com"), (3, "spam.com"), (4, "fine.org")],
+        "doc_id bigint, domain string",
+    )
+    block = spark.createDataFrame([("spam.com",), ("spam.com",)], "domain string")
+    kept = filter_blocked_domains(df, block, "domain")
+    assert sorted(r["doc_id"] for r in kept.collect()) == [2, 4]
+    # the anti join must be a broadcast, not a shuffle of the corpus side
+    plan = kept._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
 def test_domain_stats(spark):
     df = spark.createDataFrame(
         [(1, "a.com"), (2, "a.com"), (3, "b.com")], "doc_id bigint, domain string"
