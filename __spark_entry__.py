@@ -1926,6 +1926,59 @@ WHERE domain NOT IN (SELECT domain FROM blocked)
 """
 
 
+def q_substring_dedup_spans(spark, sf_dir):
+    """Exact substring dedup, Lee et al. 2021 shingle approximation
+    (functions/substring_dedup.py): duplicated 8-token spans to cut so
+    only the canonical (min doc, min pos) occurrence survives; per-doc
+    overlapping cut windows merged. Three key-partitioned shuffles: one
+    map-side-combinable shingle aggregate (count + min-struct — a
+    boilerplate shingle shared by 1e6 docs reduces map-side), one hash
+    join of positions to duplicated-shingle stats, one doc-partitioned
+    interval-merge window whose grouping reuses its partitioning."""
+    from merge_machine_spark.functions.substring_dedup import duplicated_spans
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return duplicated_spans(docs, L=8)
+
+
+SQL_SUBSTRING_DEDUP = r"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(coalesce(text, '')), '[^a-z0-9]+'),
+                     x -> x <> '') AS toks
+  FROM documents),
+p0 AS (
+  SELECT doc_id, unnest(range(1, len(toks) - 8 + 2)) AS pos, toks
+  FROM t WHERE len(toks) >= 8),
+p AS (
+  SELECT doc_id, CAST(pos AS INT) AS pos,
+         array_to_string(toks[pos:pos+7], ' ') AS shingle
+  FROM p0),
+r AS (
+  SELECT doc_id, pos,
+         count(*) OVER (PARTITION BY shingle) AS n_occ,
+         row_number() OVER (PARTITION BY shingle ORDER BY doc_id, pos) AS rn
+  FROM p),
+cuts AS (
+  SELECT doc_id, pos AS s, pos + 7 AS e FROM r WHERE n_occ >= 2 AND rn > 1),
+m AS (
+  SELECT doc_id, s, e,
+         max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pme
+  FROM cuts),
+g AS (
+  SELECT doc_id, s, e,
+         sum(CASE WHEN pme IS NULL OR s > pme + 1 THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY s, e ROWS UNBOUNDED PRECEDING) AS grp
+  FROM m)
+SELECT doc_id,
+       CAST(min(s) AS INT) AS span_start,
+       CAST(max(e) AS INT) AS span_end,
+       CAST(max(e) - min(s) + 1 AS INT) AS n_tokens_cut
+FROM g GROUP BY doc_id, grp
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "scan_clean_project": q_scan_clean_project,
@@ -1975,6 +2028,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_cap": q_domain_cap,
         "bpe_pair_counts": q_bpe_pair_counts,
         "domain_blocklist_filter": q_domain_blocklist_filter,
+        "substring_dedup_spans": q_substring_dedup_spans,
         # rows-only (non-SQL-expressible; pytest oracles)
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "french_analyzer_tokens": q_french_analyzer_tokens,
@@ -2040,4 +2094,5 @@ def oracle_sql() -> dict[str, str]:
         "domain_cap": SQL_DOMAIN_CAP,
         "bpe_pair_counts": SQL_BPE_PAIRS,
         "domain_blocklist_filter": SQL_DOMAIN_BLOCKLIST,
+        "substring_dedup_spans": SQL_SUBSTRING_DEDUP,
     }
