@@ -1979,6 +1979,47 @@ FROM g GROUP BY doc_id, grp
 """
 
 
+def q_bigram_lm_scores(spark, sf_dir):
+    """CCNet-style LM quality filter (functions/ngram_lm.py): train an
+    add-one-smoothed bigram LM on the corpus (two map-side-combinable
+    aggregates + a scalar vocab count), score every document by joining
+    its bigrams back to the vocabulary-sized stat tables. Integer-e6
+    probabilities (`div`, never float) so the oracle replays exactly;
+    avg is one IEEE division of two exact integers."""
+    from merge_machine_spark.functions.ngram_lm import bigram_lm_scores
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return bigram_lm_scores(docs).select(
+        "doc_id", "n_bigrams", "sum_p_e6", "avg_p_e6"
+    )
+
+
+SQL_BIGRAM_LM = r"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(coalesce(text, '')), '[^a-z0-9]+'),
+                     x -> x <> '') AS toks
+  FROM documents),
+pos AS (
+  SELECT doc_id, unnest(range(1, len(toks))) AS i, toks
+  FROM t WHERE len(toks) >= 2),
+bg AS (
+  SELECT doc_id, toks[CAST(i AS INT)] AS w1, toks[CAST(i AS INT) + 1] AS w2
+  FROM pos),
+c12 AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY w1, w2),
+c1 AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY w1),
+v AS (SELECT count(DISTINCT x) AS v FROM (SELECT unnest(toks) AS x FROM t)),
+s AS (
+  SELECT bg.doc_id, ((c12.c12 + 1) * 1000000) // (c1.c1 + v.v) AS p_e6
+  FROM bg JOIN c12 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_bigrams,
+       CAST(sum(p_e6) AS BIGINT) AS sum_p_e6,
+       CAST(sum(p_e6) AS DOUBLE) / count(*) AS avg_p_e6
+FROM s GROUP BY doc_id
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "scan_clean_project": q_scan_clean_project,
@@ -2029,6 +2070,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_pair_counts": q_bpe_pair_counts,
         "domain_blocklist_filter": q_domain_blocklist_filter,
         "substring_dedup_spans": q_substring_dedup_spans,
+        "bigram_lm_scores": q_bigram_lm_scores,
         # rows-only (non-SQL-expressible; pytest oracles)
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "french_analyzer_tokens": q_french_analyzer_tokens,
@@ -2095,4 +2137,5 @@ def oracle_sql() -> dict[str, str]:
         "bpe_pair_counts": SQL_BPE_PAIRS,
         "domain_blocklist_filter": SQL_DOMAIN_BLOCKLIST,
         "substring_dedup_spans": SQL_SUBSTRING_DEDUP,
+        "bigram_lm_scores": SQL_BIGRAM_LM,
     }
