@@ -552,9 +552,16 @@ def learn_resolve_threshold(
     # only labelled docs' weighted tokens join.
     tok = explode_tokens(proj, "doc_id", A.analyze(cfg.block_proj, cfg.block_channel), with_tf=True)
     dfreq = tok.groupBy("token").agg(F.countDistinct("id").alias("df"))
-    w = tfidf_weighted_tokens(tok, dfreq, n_docs).join(
-        lab_ids.withColumnRenamed("doc_id", "id"), "id", "left_semi"
-    )
+    w = tfidf_weighted_tokens(tok, dfreq, n_docs)
+    # Mirror the SERVING score exactly (tfidf_cosine_pairs): the pair dot
+    # runs over df<=max_df tokens only while norms stay full-vocab. Without
+    # this cap the calibration-time tfidf_cosine is an upper bound on the
+    # serving one, and the learned threshold is biased HIGH by an amount
+    # that grows with corpus size (measured: recall 0.995 at learn time vs
+    # 0.925 served, 10k docs) — a train/serve skew, not a tuning issue.
+    if getattr(cfg, "max_df", None) is not None:
+        w = w.join(dfreq.filter(F.col("df") <= cfg.max_df).select("token"), "token", "left_semi")
+    w = w.join(lab_ids.withColumnRenamed("doc_id", "id"), "id", "left_semi")
     wa = w.select(F.col("id").alias("id_a"), "token", F.col("w").alias("wa"))
     wb = w.select(F.col("id").alias("id_b"), "token", F.col("w").alias("wb"))
     tfidf = (
