@@ -858,6 +858,63 @@ SELECT n AS doc_id, min(r) AS cluster_id FROM reach GROUP BY n
 """
 
 
+def q_core_attach_clusters(spark, sf_dir):
+    """Chain-safe two-tier clustering (core_attach_clusters) over the
+    integer-jaccard scored blocking pairs: edges with jaccard_e6 >= 550000
+    may MERGE clusters (connected components); edges in [250000, 550000)
+    only ATTACH a doc to its best core neighbor's cluster; leftovers pair on
+    mutual best. The float-free integer score keeps the DuckDB oracle
+    (recursive CTE + window replication) bit-exact."""
+    from merge_machine_spark.operators.clustering import core_attach_clusters
+
+    pairs = q_pair_token_jaccard(spark, sf_dir).select(
+        F.col("id_a").cast("string").alias("id_a"),
+        F.col("id_b").cast("string").alias("id_b"),
+        F.col("jaccard_e6").cast("double").alias("score"),
+    )
+    return core_attach_clusters(pairs, core_threshold=550000.0, attach_threshold=250000.0)
+
+
+SQL_CORE_ATTACH = f"""
+WITH RECURSIVE
+pj AS ({SQL_PAIR_JACCARD}),
+scored AS (
+  SELECT CAST(id_a AS VARCHAR) AS u, CAST(id_b AS VARCHAR) AS v, jaccard_e6 AS s
+  FROM pj WHERE CAST(id_a AS VARCHAR) <> CAST(id_b AS VARCHAR)),
+core_e AS (SELECT u, v FROM scored WHERE s >= 550000),
+und AS (SELECT u AS n, v AS m FROM core_e UNION SELECT v, u FROM core_e),
+reach(n, r) AS (
+  SELECT n, n FROM (SELECT DISTINCT n FROM und)
+  UNION
+  SELECT und.n, reach.r FROM und JOIN reach ON und.m = reach.n),
+core AS (SELECT n AS doc_id, min(r) AS cluster_id FROM reach GROUP BY n),
+weak AS (SELECT u, v, s FROM scored WHERE s >= 250000 AND s < 550000),
+directed AS (SELECT u AS src, v AS dst, s FROM weak UNION ALL SELECT v, u, s FROM weak),
+uncored AS (SELECT d.* FROM directed d WHERE d.src NOT IN (SELECT doc_id FROM core)),
+to_core AS (SELECT un.src, un.dst, un.s, c.cluster_id FROM uncored un JOIN core c ON c.doc_id = un.dst),
+attached AS (
+  SELECT src AS doc_id, cluster_id FROM (
+    SELECT src, cluster_id, ROW_NUMBER() OVER (PARTITION BY src ORDER BY s DESC, dst) AS rn
+    FROM to_core) WHERE rn = 1),
+floating AS (
+  SELECT un.* FROM uncored un
+  WHERE un.src NOT IN (SELECT doc_id FROM attached)
+    AND un.dst NOT IN (SELECT doc_id FROM core)
+    AND un.dst NOT IN (SELECT doc_id FROM attached)),
+best AS (
+  SELECT src, dst AS bdst FROM (
+    SELECT src, dst, ROW_NUMBER() OVER (PARTITION BY src ORDER BY s DESC, dst) AS rn
+    FROM floating) WHERE rn = 1),
+mutual AS (
+  SELECT x.src AS mu, x.bdst AS mv FROM best x JOIN best y
+  ON x.bdst = y.src AND y.bdst = x.src WHERE x.src < x.bdst)
+SELECT doc_id, cluster_id FROM core
+UNION ALL SELECT doc_id, cluster_id FROM attached
+UNION ALL SELECT mu AS doc_id, mu AS cluster_id FROM mutual
+UNION ALL SELECT mv AS doc_id, mu AS cluster_id FROM mutual
+"""
+
+
 SQL_SIMHASH = """
 WITH t AS (
   SELECT doc_id,
@@ -2049,6 +2106,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hourly_rollup": q_events_hourly_rollup,
         "simhash_buckets": q_simhash_buckets,
         "connected_components": q_connected_components,
+        "core_attach_clusters": q_core_attach_clusters,
         "multi_match_best_field": q_multi_match_best_field,
         "must_filter_phrase": q_must_filter_phrase,
         "majority_vote_user": q_majority_vote_user,
@@ -2112,6 +2170,7 @@ def oracle_sql() -> dict[str, str]:
         "events_hourly_rollup": SQL_HOURLY,
         "simhash_buckets": SQL_SIMHASH,
         "connected_components": SQL_CONNECTED_COMPONENTS,
+        "core_attach_clusters": SQL_CORE_ATTACH,
         "multi_match_best_field": SQL_MULTI_MATCH,
         "must_filter_phrase": SQL_MUST_PHRASE,
         "majority_vote_user": SQL_MAJORITY_VOTE,

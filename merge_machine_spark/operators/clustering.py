@@ -122,6 +122,99 @@ def assignments_with_singletons(docs: DataFrame, assignments: DataFrame, id_col:
     return assignments.unionByName(singles)
 
 
+def core_attach_clusters(
+    scores: DataFrame,
+    core_threshold: float,
+    attach_threshold: float,
+    a: str = "id_a",
+    b: str = "id_b",
+    score_col: str = "score",
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Chain-safe two-tier clustering (robust transitive closure).
+
+    Plain CC over every edge >= threshold lets ONE borderline pair between
+    two entities merge both entire clusters — and the supply of borderline
+    cross-entity pairs grows with corpus size, so single-threshold
+    transitive closure loses precision as the data scales (measured: 13
+    false cluster merges at 10k docs at the calibrated threshold, zero at
+    1.5k docs). Two tiers fix the failure mode structurally:
+
+      * CORE edges (score >= core_threshold) may MERGE clusters — they feed
+        the alternating-star connected components.
+      * WEAK edges (attach_threshold <= score < core_threshold) may only
+        ATTACH a doc that has no core cluster to the cluster of its
+        best-scoring core neighbor. Attachment never transfers
+        connectivity: a weak edge can widen a cluster by one leaf but can
+        never chain two entities together.
+      * Docs left over after attachment pair up only when they are MUTUAL
+        best weak neighbors (size-2 clusters, chain-free) — covers
+        entities none of whose variants is clean enough for a core edge.
+
+    Every pick is a min-of-struct scalar aggregate keyed by doc
+    (map-side combinable, hub-safe, deterministic: highest score wins,
+    ties to the smallest neighbor id) — no windows, no driver state. The
+    extra cost over plain CC is three hash aggregates and two joins on the
+    weak-edge subset, all on ids+score only.
+
+    Returns (doc_id, cluster_id); singletons are NOT emitted (same contract
+    as :func:`connected_components`)."""
+    s = scores.select(
+        F.least(F.col(a), F.col(b)).alias("u"),
+        F.greatest(F.col(a), F.col(b)).alias("v"),
+        F.col(score_col).alias("s"),
+    ).filter(F.col("u") != F.col("v"))
+    core = connected_components(
+        s.filter(F.col("s") >= F.lit(core_threshold)), a="u", b="v", checkpoint_dir=checkpoint_dir
+    )
+    # Each tier below is referenced by several downstream branches; eager
+    # localCheckpoints (the same state-cutting device connected_components
+    # uses per iteration) materialize each ONCE so the assembled output plan
+    # is scans + cheap joins, not a re-derivation of the scored-pair subtree
+    # per branch. weak is the only pair-scale table (the [attach, core)
+    # band); everything after it is doc-scale.
+    weak = s.filter(
+        (F.col("s") >= F.lit(attach_threshold)) & (F.col("s") < F.lit(core_threshold))
+    ).localCheckpoint(eager=True)
+    # directed view: every weak edge from each endpoint's perspective
+    directed = weak.select(F.col("u").alias("src"), F.col("v").alias("dst"), "s").unionAll(
+        weak.select(F.col("v").alias("src"), F.col("u").alias("dst"), "s")
+    )
+    uncored = directed.join(
+        core.select(F.col("doc_id").alias("src")), "src", "left_anti"
+    ).localCheckpoint(eager=True)
+    # attach: best core-clustered neighbor per uncored doc
+    to_core = uncored.join(
+        core.select(F.col("doc_id").alias("dst"), "cluster_id"), "dst"
+    )
+    attached = (
+        to_core.groupBy("src")
+        .agg(F.min(F.struct((-F.col("s")).alias("ns"), F.col("dst"), F.col("cluster_id"))).alias("__b"))
+        .select(F.col("src").alias("doc_id"), F.col("__b.cluster_id").alias("cluster_id"))
+        .localCheckpoint(eager=True)
+    )
+    # leftovers: weak edges between docs that are neither core nor attached
+    floating = (
+        uncored.join(attached.select(F.col("doc_id").alias("src")), "src", "left_anti")
+        .join(core.select(F.col("doc_id").alias("dst")), "dst", "left_anti")
+        .join(attached.select(F.col("doc_id").alias("dst")), "dst", "left_anti")
+    )
+    best = (
+        floating.groupBy("src")
+        .agg(F.min(F.struct((-F.col("s")).alias("ns"), F.col("dst"))).alias("__b"))
+        .select("src", F.col("__b.dst").alias("bdst"))
+        .localCheckpoint(eager=True)
+    )
+    mutual = best.alias("x").join(
+        best.alias("y"),
+        (F.col("x.bdst") == F.col("y.src")) & (F.col("y.bdst") == F.col("x.src")),
+    ).filter(F.col("x.src") < F.col("x.bdst"))
+    pairs = mutual.select(
+        F.col("x.src").alias("doc_id"), F.col("x.src").alias("cluster_id")
+    ).unionAll(mutual.select(F.col("x.bdst").alias("doc_id"), F.col("x.src").alias("cluster_id")))
+    return core.unionByName(attached).unionByName(pairs)
+
+
 def canonical_per_cluster(
     docs: DataFrame,
     assignments: DataFrame,

@@ -513,23 +513,14 @@ def auto_label(
     return out
 
 
-def learn_resolve_threshold(
-    spark,
-    documents: DataFrame,
-    labels: DataFrame,
-    cfg=None,
-    t_p: float = 0.95,
-    t_r: float = 0.3,
-) -> tuple[float, dict]:
-    """Close the L5 loop for the symmetric resolve pipeline: score the
-    labelled pairs with the SAME fused feature set the pipeline uses, then
-    learn the composite-score threshold with :func:`compute_metrics`.
+def _score_labelled_resolve_pairs(spark, documents: DataFrame, labels: DataFrame, cfg=None):
+    """Score the labelled pairs with the SAME fused feature set the resolve
+    pipeline serves, returning a pandas frame (id_a, id_b, label, score).
 
     Only the labelled docs' tokens enter the TF-IDF pair computation (semi-
     join restriction), so calibration cost is O(|labels|), independent of
     corpus size — the searches the reference's labeller triggers are
-    similarly restricted to the sampled rows (SURVEY.md §2.10).
-    Returns (threshold, metrics dict)."""
+    similarly restricted to the sampled rows (SURVEY.md §2.10)."""
     from pyspark.sql import functions as F
 
     from ..functions import analyzers as A
@@ -574,7 +565,22 @@ def learn_resolve_threshold(
         pairs, proj, proj, cfg.block_proj, cfg.block_proj,
         channel=cfg.block_channel, weights=cfg.weights, jw_prefix=cfg.jw_prefix,
     ).select("id_a", "id_b", "label", "score")
-    pdf = scored.toPandas()
+    return scored.toPandas()
+
+
+def learn_resolve_threshold(
+    spark,
+    documents: DataFrame,
+    labels: DataFrame,
+    cfg=None,
+    t_p: float = 0.95,
+    t_r: float = 0.3,
+) -> tuple[float, dict]:
+    """Close the L5 loop for the symmetric resolve pipeline: score the
+    labelled pairs (serving-identical features, see
+    :func:`_score_labelled_resolve_pairs`), then learn the composite-score
+    threshold with :func:`compute_metrics`. Returns (threshold, metrics)."""
+    pdf = _score_labelled_resolve_pairs(spark, documents, labels, cfg)
 
     # per-pair classification: each labelled pair is its own "source row"
     # summary (score, is_match) — the symmetric analog of best-hit rows.
@@ -590,6 +596,57 @@ def learn_resolve_threshold(
         "precision": precision,
         "recall": recall,
         "recall_of_positives": pos_recall,
+        "score": score,
+        "n_pairs": len(pdf),
+        "n_positives": n_pos,
+    }
+
+
+def learn_resolve_thresholds(
+    spark,
+    documents: DataFrame,
+    labels: DataFrame,
+    cfg=None,
+    t_p: float = 0.95,
+    t_r: float = 0.3,
+    core_recall: float = 0.9,
+) -> tuple[float, float, dict]:
+    """Two-tier calibration for chain-safe clustering
+    (:func:`~..operators.clustering.core_attach_clusters`).
+
+    The ATTACH threshold is the precision-targeted :func:`compute_metrics`
+    pick, exactly as :func:`learn_resolve_threshold`. The CORE (merge)
+    threshold is recall-anchored on the positive score distribution: the
+    largest score that still keeps ``core_recall`` of true pairs at or
+    above it. Labelled-pair precision carries no signal for the core tier —
+    calibration negatives are typically all below the attach threshold
+    already — but transitive chain merges happen through borderline pairs
+    among UNLABELLED docs; demanding a merge score typical of true matches
+    (not merely above the attach floor) is what blocks them.
+
+    Returns (attach_threshold, core_threshold, metrics); core >= attach by
+    construction."""
+    import numpy as np
+
+    pdf = _score_labelled_resolve_pairs(spark, documents, labels, cfg)
+    is_match = (pdf["label"] == "y").to_numpy()
+    scores_np = pdf["score"].to_numpy(dtype="float64")
+    attach, precision, recall, score = compute_metrics(scores_np, is_match, t_p=t_p, t_r=t_r)
+    n_pos = int(is_match.sum())
+    pos_sorted = np.sort(scores_np[is_match])
+    if n_pos:
+        # index of the score with core_recall of positives at-or-above it
+        k = min(int((1.0 - core_recall) * n_pos), n_pos - 1)
+        core = float(max(pos_sorted[k], attach))
+    else:
+        core = float(attach)
+    pos_recall = float((scores_np[is_match] >= attach).sum() / max(n_pos, 1))
+    core_pos_recall = float((scores_np[is_match] >= core).sum() / max(n_pos, 1))
+    return attach, core, {
+        "precision": precision,
+        "recall": recall,
+        "recall_of_positives": pos_recall,
+        "core_recall_of_positives": core_pos_recall,
         "score": score,
         "n_pairs": len(pdf),
         "n_positives": n_pos,

@@ -30,7 +30,8 @@ from ..functions import analyzers as A
 from ..functions.textproj import project_documents
 from ..operators import cascade as C
 from ..operators.blocking import BlockingReport, explode_tokens, lsh_candidate_pairs
-from ..operators.clustering import assignments_with_singletons, connected_components
+from ..operators.clustering import (
+    assignments_with_singletons, connected_components, core_attach_clusters)
 from ..operators.scoring import fused_pair_features_best_field, payload_pair_features, tfidf_cosine_pairs
 from ..sources.checkpoints import StageStore
 
@@ -60,6 +61,11 @@ class ResolveConfig:
         }
     )
     threshold: float = 0.5
+    # chain-safe clustering (core_attach_clusters): edges >= core_threshold
+    # may MERGE clusters; edges in [threshold, core_threshold) only ATTACH a
+    # doc to its best core neighbor's cluster. None = plain single-threshold
+    # connected components (the historical behavior).
+    core_threshold: float | None = None
     # cascade scoring: pairs below this cheap TF-IDF floor never reach the
     # expensive (Python-side) features — at 100 TB the JW/feature UDFs are
     # the cost center, and a pair whose TF-IDF is near zero cannot clear the
@@ -188,7 +194,12 @@ def _resolve_body(spark, documents, cfg, store, checkpoint_dir, run_id, resume):
 
     def compute_clusters() -> DataFrame:
         cc_dir = f"{checkpoint_dir}/{run_id}/_cc_iters" if checkpoint_dir else None
-        assign = connected_components(edges, checkpoint_dir=cc_dir)
+        if cfg.core_threshold is not None:
+            assign = core_attach_clusters(
+                scores, cfg.core_threshold, cfg.threshold, checkpoint_dir=cc_dir
+            )
+        else:
+            assign = connected_components(edges, checkpoint_dir=cc_dir)
         return assignments_with_singletons(proj, assign)
 
     if store:

@@ -16,6 +16,7 @@ SAMPLE = [
     "pair_token_jaccard",
     "pair_jaro_winkler",
     "cascade_two_tier",
+    "core_attach_clusters",
     "tpch_pricing_summary",
     "embedding_cosine_top5",
     "embedding_near_dup",
