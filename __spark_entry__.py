@@ -899,7 +899,6 @@ attached AS (
 floating AS (
   SELECT un.* FROM uncored un
   WHERE un.src NOT IN (SELECT doc_id FROM attached)
-    AND un.dst NOT IN (SELECT doc_id FROM core)
     AND un.dst NOT IN (SELECT doc_id FROM attached)),
 best AS (
   SELECT src, dst AS bdst FROM (

@@ -159,6 +159,13 @@ def core_attach_clusters(
 
     Returns (doc_id, cluster_id); singletons are NOT emitted (same contract
     as :func:`connected_components`)."""
+    if attach_threshold > core_threshold:
+        # an inverted config would silently CC-merge below the match
+        # threshold (the weak band would be empty) — strictly worse
+        # precision than plain CC, so fail loudly instead
+        raise ValueError(
+            f"attach_threshold ({attach_threshold}) must be <= core_threshold ({core_threshold})"
+        )
     s = scores.select(
         F.least(F.col(a), F.col(b)).alias("u"),
         F.greatest(F.col(a), F.col(b)).alias("v"),
@@ -193,10 +200,11 @@ def core_attach_clusters(
         .select(F.col("src").alias("doc_id"), F.col("__b.cluster_id").alias("cluster_id"))
         .localCheckpoint(eager=True)
     )
-    # leftovers: weak edges between docs that are neither core nor attached
+    # leftovers: weak edges between docs that are neither core nor attached.
+    # (No dst-vs-core anti-join needed: a surviving src is unattached, so it
+    # had NO uncored edge to a core dst — dst not in core follows.)
     floating = (
         uncored.join(attached.select(F.col("doc_id").alias("src")), "src", "left_anti")
-        .join(core.select(F.col("doc_id").alias("dst")), "dst", "left_anti")
         .join(attached.select(F.col("doc_id").alias("dst")), "dst", "left_anti")
     )
     best = (

@@ -550,9 +550,12 @@ def _score_labelled_resolve_pairs(spark, documents: DataFrame, labels: DataFrame
     # serving one, and the learned threshold is biased HIGH by an amount
     # that grows with corpus size (measured: recall 0.995 at learn time vs
     # 0.925 served, 10k docs) — a train/serve skew, not a tuning issue.
+    # labelled-docs restriction FIRST (shrinks the cap join's probe side
+    # from corpus-token scale to O(|labels|) tokens), then the cap — the
+    # two left-semi filters are independent, so order is free.
+    w = w.join(lab_ids.withColumnRenamed("doc_id", "id"), "id", "left_semi")
     if getattr(cfg, "max_df", None) is not None:
         w = w.join(dfreq.filter(F.col("df") <= cfg.max_df).select("token"), "token", "left_semi")
-    w = w.join(lab_ids.withColumnRenamed("doc_id", "id"), "id", "left_semi")
     wa = w.select(F.col("id").alias("id_a"), "token", F.col("w").alias("wa"))
     wb = w.select(F.col("id").alias("id_b"), "token", F.col("w").alias("wb"))
     tfidf = (
@@ -579,27 +582,15 @@ def learn_resolve_threshold(
     """Close the L5 loop for the symmetric resolve pipeline: score the
     labelled pairs (serving-identical features, see
     :func:`_score_labelled_resolve_pairs`), then learn the composite-score
-    threshold with :func:`compute_metrics`. Returns (threshold, metrics)."""
-    pdf = _score_labelled_resolve_pairs(spark, documents, labels, cfg)
+    threshold with :func:`compute_metrics`. Returns (threshold, metrics).
 
-    # per-pair classification: each labelled pair is its own "source row"
-    # summary (score, is_match) — the symmetric analog of best-hit rows.
-    is_match = (pdf["label"] == "y").to_numpy()
-    scores_np = pdf["score"].to_numpy(dtype="float64")
-    thresh, precision, recall, score = compute_metrics(scores_np, is_match, t_p=t_p, t_r=t_r)
-    # The reference's rolling recall divides by ALL rows (its source rows each
-    # have a true match, HOW_TO.md:8); with labelled negatives present we also
-    # report recall over positives, the symmetric-ER reading.
-    n_pos = int(is_match.sum())
-    pos_recall = float((scores_np[is_match] >= thresh).sum() / max(n_pos, 1))
-    return thresh, {
-        "precision": precision,
-        "recall": recall,
-        "recall_of_positives": pos_recall,
-        "score": score,
-        "n_pairs": len(pdf),
-        "n_positives": n_pos,
-    }
+    Single-tier view of :func:`learn_resolve_thresholds` (one scoring pass,
+    identical attach pick; the core-tier keys are dropped)."""
+    attach, _core, metrics = learn_resolve_thresholds(
+        spark, documents, labels, cfg, t_p=t_p, t_r=t_r
+    )
+    metrics = {k: v for k, v in metrics.items() if k != "core_recall_of_positives"}
+    return attach, metrics
 
 
 def learn_resolve_thresholds(
@@ -640,6 +631,9 @@ def learn_resolve_thresholds(
         core = float(max(pos_sorted[k], attach))
     else:
         core = float(attach)
+    # The reference's rolling recall divides by ALL rows (its source rows
+    # each have a true match, HOW_TO.md:8); with labelled negatives present
+    # we also report recall over positives, the symmetric-ER reading.
     pos_recall = float((scores_np[is_match] >= attach).sum() / max(n_pos, 1))
     core_pos_recall = float((scores_np[is_match] >= core).sum() / max(n_pos, 1))
     return attach, core, {
