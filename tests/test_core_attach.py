@@ -89,6 +89,41 @@ def test_no_weak_edges_degenerates_to_plain_cc(spark):
     assert got == {frozenset({"a1", "a2", "a3"})}
 
 
+def test_inverted_thresholds_raise(spark):
+    import pytest
+
+    s = _scores(spark, [("a1", "a2", 0.9)])
+    with pytest.raises(ValueError, match="attach_threshold"):
+        core_attach_clusters(s, core_threshold=0.4, attach_threshold=0.5)
+
+
+def test_two_tier_resume_byte_identical(spark):
+    """Kill-after-stage-k resume (SURVEY §5.2 item 6) with chain-safe
+    clustering configured: identical final cluster table on relaunch."""
+    import os
+    import shutil
+    import tempfile
+
+    from merge_machine_spark.plans.pipeline import ResolveConfig, resolve
+    from merge_machine_spark.sources.synth import generate_documents
+
+    docs = generate_documents(spark, 60, seed=9).select("doc_id", "spans")
+    cfg = ResolveConfig()
+    cfg.threshold = 0.35
+    cfg.core_threshold = 0.5
+    ckdir = tempfile.mkdtemp(prefix="ck_twotier_")
+    try:
+        r1 = resolve(spark, docs, cfg, checkpoint_dir=ckdir, run_id="t")
+        c1 = sorted(map(tuple, r1["cluster_assignments"].collect()))
+        os.remove(f"{ckdir}/t/cluster_assignments/_STAGE_MANIFEST.json")
+        r2 = resolve(spark, docs, cfg, checkpoint_dir=ckdir, run_id="t")
+        c2 = sorted(map(tuple, r2["cluster_assignments"].collect()))
+        assert c1 == c2
+        assert len(c1) > 0
+    finally:
+        shutil.rmtree(ckdir, ignore_errors=True)
+
+
 def test_two_tier_calibrated_resolve_hits_f1_gate(spark, docs300):
     """Close the loop: learn (attach, core) from labelled pairs, resolve
     with chain-safe clustering, labeled-pair F1 >= 0.99."""
