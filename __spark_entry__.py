@@ -914,6 +914,42 @@ UNION ALL SELECT mv AS doc_id, mu AS cluster_id FROM mutual
 """
 
 
+def q_cluster_score_stats(spark, sf_dir):
+    """Per-cluster match-count/score-distribution metrics over the
+    chain-safe clusters (north rule: the metrics table the resumable
+    pipeline publishes next to cluster assignments). Integer jaccard_e6
+    scores keep count/min/max/sum exact for the DuckDB oracle."""
+    from merge_machine_spark.operators.clustering import (
+        cluster_score_stats, core_attach_clusters)
+
+    pairs = q_pair_token_jaccard(spark, sf_dir).select(
+        F.col("id_a").cast("string").alias("id_a"),
+        F.col("id_b").cast("string").alias("id_b"),
+        F.col("jaccard_e6").alias("score"),
+    ).localCheckpoint(eager=True)  # one derivation feeds clustering AND stats
+    assign = core_attach_clusters(pairs, core_threshold=550000.0, attach_threshold=250000.0)
+    return cluster_score_stats(pairs, assign)
+
+
+SQL_CLUSTER_STATS = f"""
+WITH assign AS ({SQL_CORE_ATTACH}),
+pj AS ({SQL_PAIR_JACCARD}),
+intra AS (
+  SELECT x.cluster_id, count(*) AS n_intra_pairs,
+         min(p.jaccard_e6) AS min_score, max(p.jaccard_e6) AS max_score,
+         CAST(sum(p.jaccard_e6) AS BIGINT) AS sum_score
+  FROM pj p
+  JOIN assign x ON x.doc_id = CAST(p.id_a AS VARCHAR)
+  JOIN assign y ON y.doc_id = CAST(p.id_b AS VARCHAR)
+  WHERE x.cluster_id = y.cluster_id
+  GROUP BY x.cluster_id),
+members AS (SELECT cluster_id, count(*) AS n_members FROM assign GROUP BY cluster_id)
+SELECT m.cluster_id, m.n_members, coalesce(i.n_intra_pairs, 0) AS n_intra_pairs,
+       i.min_score, i.max_score, i.sum_score
+FROM members m LEFT JOIN intra i ON i.cluster_id = m.cluster_id
+"""
+
+
 SQL_SIMHASH = """
 WITH t AS (
   SELECT doc_id,
@@ -2106,6 +2142,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_buckets": q_simhash_buckets,
         "connected_components": q_connected_components,
         "core_attach_clusters": q_core_attach_clusters,
+        "cluster_score_stats": q_cluster_score_stats,
         "multi_match_best_field": q_multi_match_best_field,
         "must_filter_phrase": q_must_filter_phrase,
         "majority_vote_user": q_majority_vote_user,
@@ -2170,6 +2207,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash_buckets": SQL_SIMHASH,
         "connected_components": SQL_CONNECTED_COMPONENTS,
         "core_attach_clusters": SQL_CORE_ATTACH,
+        "cluster_score_stats": SQL_CLUSTER_STATS,
         "multi_match_best_field": SQL_MULTI_MATCH,
         "must_filter_phrase": SQL_MUST_PHRASE,
         "majority_vote_user": SQL_MAJORITY_VOTE,

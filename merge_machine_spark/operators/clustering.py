@@ -223,6 +223,54 @@ def core_attach_clusters(
     return core.unionByName(attached).unionByName(pairs)
 
 
+def cluster_score_stats(
+    scores: DataFrame,
+    assignments: DataFrame,
+    a: str = "id_a",
+    b: str = "id_b",
+    score_col: str = "score",
+) -> DataFrame:
+    """Per-cluster match-count / score-distribution metrics — the
+    observability table the resumable pipeline publishes next to its
+    cluster assignments (north rule: "match-count/score-distribution
+    metrics"; complements StageStore.partition_metrics, which covers the
+    same per stage PARTITION rather than per entity cluster).
+
+    Joins each scored pair to its endpoints' clusters, keeps intra-cluster
+    pairs, and aggregates count/min/max/sum per cluster alongside the
+    member count. Shapes: two doc-scale hash joins to label the pair ends,
+    then ONE pair-scale shuffle keyed by cluster_id with scalar map-side
+    combinable aggregates — hub-safe (a 10^8-member cluster is a running
+    scalar agg, never an array). Clusters with members but no surviving
+    intra-cluster scored pair (e.g. a pair attached through a since-pruned
+    edge) report n_intra_pairs = 0 with NULL min/max/sum.
+
+    Returns (cluster_id, n_members, n_intra_pairs, min_score, max_score,
+    sum_score)."""
+    ca = assignments.select(F.col("doc_id").alias(a), F.col("cluster_id").alias("_ca"))
+    cb = assignments.select(F.col("doc_id").alias(b), F.col("cluster_id").alias("_cb"))
+    intra = (
+        scores.join(ca, a).join(cb, b)
+        .filter(F.col("_ca") == F.col("_cb"))
+        .groupBy(F.col("_ca").alias("cluster_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_intra_pairs"),
+            F.min(score_col).alias("min_score"),
+            F.max(score_col).alias("max_score"),
+            F.sum(score_col).alias("sum_score"),
+        )
+    )
+    members = assignments.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("n_members"))
+    return members.join(intra, "cluster_id", "left").select(
+        "cluster_id",
+        "n_members",
+        F.coalesce("n_intra_pairs", F.lit(0)).alias("n_intra_pairs"),
+        "min_score",
+        "max_score",
+        "sum_score",
+    )
+
+
 def canonical_per_cluster(
     docs: DataFrame,
     assignments: DataFrame,

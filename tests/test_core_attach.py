@@ -89,6 +89,32 @@ def test_no_weak_edges_degenerates_to_plain_cc(spark):
     assert got == {frozenset({"a1", "a2", "a3"})}
 
 
+def test_cluster_score_stats(spark):
+    from merge_machine_spark.operators.clustering import cluster_score_stats
+
+    s = _scores(spark, [
+        ("a1", "a2", 0.9),
+        ("a2", "a3", 0.8),
+        ("a1", "a3", 0.7),
+        ("b1", "b2", 0.6),
+        ("a3", "b1", 0.5),  # inter-cluster: must NOT count anywhere
+    ])
+    assign = spark.createDataFrame(
+        [("a1", "a1"), ("a2", "a1"), ("a3", "a1"), ("b1", "b1"), ("b2", "b1")],
+        "doc_id string, cluster_id string",
+    )
+    rows = {r["cluster_id"]: r for r in cluster_score_stats(s, assign).collect()}
+    assert rows["a1"]["n_members"] == 3 and rows["a1"]["n_intra_pairs"] == 3
+    assert rows["a1"]["min_score"] == 0.7 and rows["a1"]["max_score"] == 0.9
+    assert abs(rows["a1"]["sum_score"] - 2.4) < 1e-9
+    assert rows["b1"]["n_members"] == 2 and rows["b1"]["n_intra_pairs"] == 1
+    assert rows["b1"]["sum_score"] == 0.6
+    # cluster with members but no surviving intra pair
+    assign2 = assign.union(spark.createDataFrame([("c1", "c1"), ("c2", "c1")], assign.schema))
+    rows2 = {r["cluster_id"]: r for r in cluster_score_stats(s, assign2).collect()}
+    assert rows2["c1"]["n_intra_pairs"] == 0 and rows2["c1"]["min_score"] is None
+
+
 def test_inverted_thresholds_raise(spark):
     import pytest
 

@@ -17,6 +17,7 @@ SAMPLE = [
     "pair_jaro_winkler",
     "cascade_two_tier",
     "core_attach_clusters",
+    "cluster_score_stats",
     "tpch_pricing_summary",
     "embedding_cosine_top5",
     "embedding_near_dup",
