@@ -206,7 +206,18 @@ def _resolve_body(spark, documents, cfg, store, checkpoint_dir, run_id, resume):
         clusters = store.get_or_compute(spark, "cluster_assignments", compute_clusters, resume=resume)
     else:
         clusters = compute_clusters()
-    return {"projected": proj, "pair_scores": scores, "match_edges": edges, "cluster_assignments": clusters}
+    out = {"projected": proj, "pair_scores": scores, "match_edges": edges, "cluster_assignments": clusters}
+    if store:
+        # north rule: the checkpointed run also publishes match-count /
+        # score-distribution metrics at entity-cluster grain (partition
+        # grain is already in every stage manifest). One pair-scale shuffle
+        # keyed by cluster_id; resumes like any other stage.
+        from ..operators.clustering import cluster_score_stats
+
+        out["cluster_metrics"] = store.get_or_compute(
+            spark, "cluster_metrics", lambda: cluster_score_stats(scores, clusters), resume=resume
+        )
+    return out
 
 
 # ---------------------------------------------------------------------------

@@ -79,6 +79,11 @@ def test_resume_byte_identical(spark):
         man = StageStore(ckdir, "t").manifest("pair_scores")
         assert man["rows"] > 0 and len(man["partitions"]) > 0
         assert any("score_avg" in p for p in man["partitions"])
+        # the checkpointed run publishes entity-cluster-grain metrics too
+        stats = {r["cluster_id"]: r for r in r2["cluster_metrics"].collect()}
+        assert len(stats) > 0
+        multi = [s for s in stats.values() if s["n_members"] > 1]
+        assert multi and all(s["n_intra_pairs"] > 0 for s in multi)
     finally:
         shutil.rmtree(ckdir, ignore_errors=True)
 
