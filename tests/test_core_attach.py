@@ -150,6 +150,88 @@ def test_two_tier_resume_byte_identical(spark):
         shutil.rmtree(ckdir, ignore_errors=True)
 
 
+def _model_core_attach(edges, core_t, attach_t):
+    """Pure-Python reference of core_attach_clusters semantics: min-root
+    union-find over core edges, best-core-neighbor attachment with the
+    (-score, dst) tie-break, mutual-best pairing for the rest."""
+    canon = {}
+    for u, v, s in edges:
+        a, b = (u, v) if u < v else (v, u)
+        if a != b:
+            canon[(a, b)] = s
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for (a, b), s in canon.items():
+        if s >= core_t:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+    core_assign = {x: find(x) for x in list(parent)}
+    weak = [(a, b, s) for (a, b), s in canon.items() if attach_t <= s < core_t]
+    directed = weak + [(b, a, s) for a, b, s in weak]
+    uncored = [(src, dst, s) for src, dst, s in directed if src not in core_assign]
+    pick = {}
+    for src, dst, s in uncored:
+        if dst in core_assign:
+            key = (-s, dst)
+            if src not in pick or key < pick[src][0]:
+                pick[src] = (key, core_assign[dst])
+    attached = {src: cid for src, (_, cid) in pick.items()}
+    floating = [
+        (src, dst, s) for src, dst, s in uncored
+        if src not in attached and dst not in attached and dst not in core_assign
+    ]
+    bestd = {}
+    for src, dst, s in floating:
+        key = (-s, dst)
+        if src not in bestd or key < bestd[src][0]:
+            bestd[src] = (key, dst)
+    bestd = {src: dst for src, (_, dst) in bestd.items()}
+    out = dict(core_assign)
+    out.update(attached)
+    for src, dst in bestd.items():
+        if bestd.get(dst) == src and src < dst:
+            out[src] = src
+            out[dst] = src
+    return out
+
+
+def test_random_graphs_match_pure_python_model(spark):
+    """Model-based check: 12 seeded random weighted graphs (discrete score
+    levels to provoke ties), Spark operator output must equal the pure-
+    Python reference exactly — covers arbitrary interleavings of core
+    components, attachment competition, and mutual-best pairing that the
+    hand-built cases can't."""
+    import random
+
+    levels = [0.2, 0.35, 0.5, 0.65, 0.8]
+    for seed in range(12):
+        rng = random.Random(seed)
+        n = rng.randint(8, 14)
+        nodes = [f"n{i:02d}" for i in range(n)]
+        edges = [
+            (a, b, rng.choice(levels))
+            for i, a in enumerate(nodes)
+            for b in nodes[i + 1:]
+            if rng.random() < 0.2
+        ]
+        if not edges:
+            continue
+        got = {
+            r["doc_id"]: r["cluster_id"]
+            for r in core_attach_clusters(_scores(spark, edges), 0.6, 0.3).collect()
+        }
+        want = _model_core_attach(edges, 0.6, 0.3)
+        assert got == want, f"seed {seed}: {got} != {want}"
+
+
 def test_two_tier_calibrated_resolve_hits_f1_gate(spark, docs300):
     """Close the loop: learn (attach, core) from labelled pairs, resolve
     with chain-safe clustering, labeled-pair F1 >= 0.99."""
