@@ -36,6 +36,12 @@ def main() -> None:
     p.add_argument("--checkpoint-dir", default=None)
     p.add_argument("--run-id", default="run")
     p.add_argument("--threshold", type=float, default=0.45)
+    p.add_argument("--core-threshold", type=float, default=None,
+                   help="enable chain-safe two-tier clustering: edges >= this merge "
+                        "clusters, [threshold, this) only attach leaves")
+    p.add_argument("--two-tier", action="store_true",
+                   help="with --labels: learn BOTH thresholds (attach precision-"
+                        "targeted, core recall-anchored) instead of one")
     p.add_argument("--labels", help="optional labelled pairs parquet -> learn threshold (L5)")
     p.add_argument("--text-only-scan", action="store_true",
                    help="read spans without media_ref (text-plane subset schema)")
@@ -61,17 +67,28 @@ def main() -> None:
         p.error("one of --input / --synth is required")
 
     cfg = ResolveConfig(threshold=args.threshold)
+    cfg.core_threshold = args.core_threshold
     if args.labels:
         labels = spark.read.parquet(args.labels)
-        th, metrics = learn_resolve_threshold(spark, docs, labels, cfg)
-        cfg.threshold = float(th)
-        print(json.dumps({"learned_threshold": th, **metrics}), file=sys.stderr)
+        if args.two_tier:
+            from merge_machine_spark.plans.calibration import learn_resolve_thresholds
+
+            attach, core, metrics = learn_resolve_thresholds(spark, docs, labels, cfg)
+            cfg.threshold = float(attach)
+            cfg.core_threshold = float(core)
+            print(json.dumps({"learned_threshold": attach, "learned_core_threshold": core,
+                              **metrics}), file=sys.stderr)
+        else:
+            th, metrics = learn_resolve_threshold(spark, docs, labels, cfg)
+            cfg.threshold = float(th)
+            print(json.dumps({"learned_threshold": th, **metrics}), file=sys.stderr)
 
     t0 = time.time()
     res = resolve(spark, docs, cfg, checkpoint_dir=args.checkpoint_dir, run_id=args.run_id)
     res["cluster_assignments"].write.mode("overwrite").parquet(f"{args.output}/cluster_assignments")
     n = spark.read.parquet(f"{args.output}/cluster_assignments").count()
-    print(json.dumps({"rows": n, "wall_sec": round(time.time() - t0, 1), "threshold": cfg.threshold}))
+    print(json.dumps({"rows": n, "wall_sec": round(time.time() - t0, 1),
+                      "threshold": cfg.threshold, "core_threshold": cfg.core_threshold}))
     spark.stop()
 
 
