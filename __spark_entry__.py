@@ -59,11 +59,23 @@ def _block_keys(spark, sf_dir) -> DataFrame:
 
 
 def _block_pairs(spark, sf_dir) -> DataFrame:
-    """(id_a, id_b, k): symmetric self-join blocking, canonical id_a < id_b."""
+    """(id_a, id_b, k): symmetric self-join blocking, canonical id_a < id_b.
+
+    The probe (a) side is repartitioned by doc_id BEFORE the broadcast join
+    (r6, guide §2.4/§2.5): the driver ``documents`` parquet is a single file,
+    so without it the whole join probe — and everything downstream of the
+    pair table — runs in ONE task pinned to the scan layout. Spreading the
+    50k-row KEYS table (~1 MiB exchange) instead of the 1.4M-row pair table
+    with both texts (~800 MiB exchange, the r5 shape) parallelizes pair
+    generation AND leaves the pair plane hash-distributed by id_a, which
+    downstream windows/aggregations reuse without another exchange."""
     keys = _block_keys(spark, sf_dir)
-    a = keys.select(F.col("doc_id").alias("id_a"), "k")
+    a = (
+        keys.repartition(spark.sparkContext.defaultParallelism * 4, "doc_id")
+        .select(F.col("doc_id").alias("id_a"), "k")
+    )
     b = keys.select(F.col("doc_id").alias("id_b"), "k")
-    return a.join(b, "k").filter(F.col("id_a") < F.col("id_b")).select("id_a", "id_b", "k")
+    return a.join(F.broadcast(b), "k").filter(F.col("id_a") < F.col("id_b")).select("id_a", "id_b", "k")
 
 
 _SQL_TOKENS = """
@@ -200,28 +212,34 @@ def q_pair_token_jaccard(spark, sf_dir):
     """A6/U3 token-overlap scoring over blocked pairs; jaccard integer-scaled
     (x1e6, integer division) to stay float-free."""
     pairs = _block_pairs(spark, sf_dir).select("id_a", "id_b")
-    tok = _tokens(spark, sf_dir)
-    sizes = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    ta = tok.select(F.col("doc_id").alias("id_a"), "token")
-    tb = tok.select(F.col("doc_id").alias("id_b"), "token")
-    inter = (
-        pairs.join(ta, "id_a").join(tb, ["id_b", "token"])
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("inter"))
-    )
-    na = sizes.select(F.col("doc_id").alias("id_a"), F.col("n").alias("na"))
-    nb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n").alias("nb"))
-    return (
-        pairs.join(inter, ["id_a", "id_b"], "left")
-        .join(na, "id_a")
-        .join(nb, "id_b")
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.coalesce(F.col("text"), F.lit(""))), _TOKEN_SPLIT)
+    arr = F.array_distinct(F.filter(toks, lambda t: t != F.lit("")))
+    # r6 (guide §2.3/§2.4): the r5 shape materialized the distinct (doc_id,
+    # token) table FOUR times (2 exchanges each) and ran the intersection as
+    # a token-exploded pair join (~55M rows at sf1.0) + groupBy + a pair-
+    # level SortMergeJoin. Intersection sizes over per-doc distinct-token
+    # ARRAYS are the same numbers computed in one codegen projection: the
+    # doc->array table broadcasts (~15 MiB at sf1.0) and the pair plane never
+    # shuffles. Docs with zero tokens are excluded exactly like the r5 inner
+    # join against the sizes table (size(toks) > 0 <=> the doc had a row).
+    tokarr = docs.select("doc_id", arr.alias("_toks")).filter(F.size("_toks") > 0)
+    ta = tokarr.select(F.col("doc_id").alias("id_a"), F.col("_toks").alias("_ta"))
+    tb = tokarr.select(F.col("doc_id").alias("id_b"), F.col("_toks").alias("_tb"))
+    j = (
+        pairs.join(F.broadcast(ta), "id_a")
+        .join(F.broadcast(tb), "id_b")
         .select(
             "id_a",
             "id_b",
-            F.coalesce("inter", F.lit(0)).alias("inter"),
-            (F.col("na") + F.col("nb") - F.coalesce("inter", F.lit(0))).alias("union_n"),
-            F.expr("(coalesce(inter,0) * 1000000) div (na + nb - coalesce(inter,0))").alias("jaccard_e6"),
+            F.size(F.array_intersect("_ta", "_tb")).cast("bigint").alias("inter"),
+            (F.size("_ta") + F.size("_tb") - F.size(F.array_intersect("_ta", "_tb")))
+            .cast("bigint")
+            .alias("union_n"),
         )
+    )
+    return j.select(
+        "id_a", "id_b", "inter", "union_n", F.expr("(inter * 1000000) div union_n").alias("jaccard_e6")
     )
 
 
@@ -241,25 +259,30 @@ JOIN sizes sa ON sa.doc_id = p.id_a JOIN sizes sb ON sb.doc_id = p.id_b
 
 
 def q_pair_levenshtein_top1(spark, sf_dir):
-    """J5/W1 + built-in edit distance: best (lowest-distance) partner per
-    id_a among blocked pairs.
+    """J5/W1 + edit distance: best (lowest-distance) partner per id_a among
+    blocked pairs.
 
-    The explicit repartition before the O(len_a*len_b) edit-distance
-    projection is load-bearing: the driver ``documents`` parquet is one
-    file and every join broadcasts, so without it the whole chain runs in
-    a single task pinned to the scan's layout (12.4s at sf0.1 on 32 cores
-    — measured, r5). Spreading the pairs on id_a parallelizes the DP AND
-    pre-satisfies the window's hash requirement, so no extra shuffle; the
-    count is explicit because AQE's size-based coalescing would fold a
-    few-MB compute-heavy exchange back to 2 partitions. 12.4s -> ~1.0s."""
+    r6 shape (guide §4.2): the pair plane arrives pre-distributed by id_a
+    from ``_block_pairs`` (the r5 explicit pair-level repartition shipped
+    both full texts through an ~800 MiB exchange; now only the 1 MiB keys
+    table is exchanged). The O(len_a*len_b) DP itself runs in a native C
+    kernel (Myers bit-parallel, ~60x the JVM built-in's cell rate here) via
+    ``mapInArrow``; exact-equivalence is pinned by tests and the DuckDB
+    oracle. Falls back to the JVM built-in when no C compiler exists — the
+    fallback inherits the id_a distribution, so the window still needs no
+    extra exchange."""
+    from merge_machine_spark.functions import native_sim
+
     pairs = _block_pairs(spark, sf_dir).select("id_a", "id_b")
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     j = (
-        pairs.join(docs.select(F.col("doc_id").alias("id_a"), F.col("text").alias("ta")), "id_a")
-        .join(docs.select(F.col("doc_id").alias("id_b"), F.col("text").alias("tb")), "id_b")
-        .repartition(spark.sparkContext.defaultParallelism, F.col("id_a"))
-        .select("id_a", "id_b", F.levenshtein("ta", "tb").alias("lev"))
+        pairs.join(F.broadcast(docs.select(F.col("doc_id").alias("id_a"), F.col("text").alias("ta"))), "id_a")
+        .join(F.broadcast(docs.select(F.col("doc_id").alias("id_b"), F.col("text").alias("tb"))), "id_b")
     )
+    if native_sim.have_native():
+        j = j.mapInArrow(native_sim.lev_pairs_map_arrow, "id_a long, id_b long, lev int")
+    else:
+        j = j.select("id_a", "id_b", F.levenshtein("ta", "tb").alias("lev"))
     w = Window.partitionBy("id_a").orderBy(F.asc("lev"), F.asc("id_b"))
     return j.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1).select("id_a", "id_b", "lev")
 
@@ -281,12 +304,12 @@ def q_pair_jaro_winkler(spark, sf_dir):
 
     pairs = _block_pairs(spark, sf_dir).select("id_a", "id_b")
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    # pairs arrive pre-distributed by id_a from _block_pairs (r6) — the r5
+    # pair-level repartition shipped both texts through the exchange; now the
+    # Arrow JW batches parallelize with no pair-plane shuffle at all.
     j = (
-        pairs.join(docs.select(F.col("doc_id").alias("id_a"), F.col("text").alias("ta")), "id_a")
-        .join(docs.select(F.col("doc_id").alias("id_b"), F.col("text").alias("tb")), "id_b")
-        # same single-task-scan escape as pair_levenshtein_top1: spread the
-        # pairs before the Arrow UDF so the JW batches parallelize
-        .repartition(spark.sparkContext.defaultParallelism, F.col("id_a"))
+        pairs.join(F.broadcast(docs.select(F.col("doc_id").alias("id_a"), F.col("text").alias("ta"))), "id_a")
+        .join(F.broadcast(docs.select(F.col("doc_id").alias("id_b"), F.col("text").alias("tb"))), "id_b")
     )
     return j.select(
         "id_a", "id_b", F.floor(jaro_winkler(F.col("ta"), F.col("tb")) * 10000).cast("bigint").alias("jw_e4")
@@ -595,14 +618,25 @@ def q_embedding_cosine_top5(spark, sf_dir):
     """Similarity search baseline: brute-force cosine top-5 for the first 10
     query vectors (higher-order functions, JVM-side dot product)."""
     emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    # r6 (guide §1.2 "don't compute things you throw away"): norms are
+    # per-VECTOR quantities — compute them once per row BEFORE the cross
+    # join instead of once per (q, c) pair (the r5 shape re-evaluated the
+    # query norm 20k times per query vector and the candidate norm 10x).
+    # The candidate side is also spread out of the single-file scan layout
+    # so the interpreted higher-order aggregates parallelize. Identical
+    # doubles: same fold expression over the same data, same cos division.
+    norm = F.sqrt(F.aggregate("embedding", F.lit(0.0), lambda a, v: a + v.cast("double") * v.cast("double")))
     q = emb.filter(F.col("vec_id") < 10).select(
-        F.col("vec_id").alias("q_id"), F.col("embedding").alias("qv")
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("qv"), norm.alias("_n1")
     )
-    j = q.crossJoin(emb.filter(F.col("vec_id") >= 10).select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("cv")))
+    c = (
+        emb.filter(F.col("vec_id") >= 10)
+        .repartition(spark.sparkContext.defaultParallelism, "vec_id")
+        .select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("cv"), norm.alias("_n2"))
+    )
+    j = F.broadcast(q).crossJoin(c)
     dot = F.aggregate(F.zip_with("qv", "cv", lambda x, y: x.cast("double") * y.cast("double")), F.lit(0.0), lambda a, v: a + v)
-    n1 = F.sqrt(F.aggregate("qv", F.lit(0.0), lambda a, v: a + v.cast("double") * v.cast("double")))
-    n2 = F.sqrt(F.aggregate("cv", F.lit(0.0), lambda a, v: a + v.cast("double") * v.cast("double")))
-    cos = dot / (n1 * n2)
+    cos = dot / (F.col("_n1") * F.col("_n2"))
     scored = j.select("q_id", "c_id", F.floor(cos * 1000).cast("bigint").alias("cos_e3"))
     w = Window.partitionBy("q_id").orderBy(F.desc("cos_e3"), F.asc("c_id"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= 5)

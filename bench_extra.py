@@ -1,0 +1,144 @@
+"""Extra benchmarks and per-stage profiling (NOT part of the driver contract).
+
+``bench.py`` is frozen for measurement; this file holds the noop-sink
+isolation runs (spark_optimization_guide.md §1.4) whose numbers are cited in
+OPTIMIZATION_r06.md:
+
+  * ``headline`` — each headline query timed best-of-N through the noop sink
+    with job descriptions, at $SPARK_GRAFT_SF_DIR;
+  * ``er [n_entities]`` — the flagship resolve() decomposed into its stages
+    (analyzer, token explode + TF-IDF pair join, payload feature join),
+    each materialized separately so the expensive stage is identifiable.
+
+Usage:
+  SPARK_GRAFT_SF_DIR=/root/testdata/sf1.0 python bench_extra.py headline
+  python bench_extra.py er 200000
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def _noop(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def headline(spark, sf_dir: str, repeats: int = 2) -> None:
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+    names = [
+        "tokens_standard", "token_doc_frequency", "blocking_pairs",
+        "pair_token_jaccard", "pair_jaro_winkler", "pair_levenshtein_top1",
+        "minhash_lsh_pairs", "embedding_cosine_top5", "tpch_pricing_summary",
+        "tpch_top_orders", "events_hourly_rollup", "doc_fingerprint",
+    ]
+    _noop(qs[names[0]](spark, sf_dir))  # warm-up (JVM/codegen/Arrow start-up)
+    out = {}
+    for name in names:
+        runs = []
+        for i in range(repeats):
+            spark.sparkContext.setJobDescription(f"headline:{name}#{i}")
+            t0 = time.time()
+            _noop(qs[name](spark, sf_dir))
+            runs.append(round(time.time() - t0, 3))
+        spark.sparkContext.setJobDescription(None)
+        out[name] = runs
+        print(f"{name}: {runs}", flush=True)
+    print(json.dumps({"sf_dir": sf_dir, "queries_min": {k: min(v) for k, v in out.items()},
+                      "queries_runs": out}), flush=True)
+
+
+def er_stages(spark, n_entities: int) -> None:
+    from pyspark.sql import functions as F
+
+    from merge_machine_spark.caching import release_tracked
+    from merge_machine_spark.functions import analyzers as A
+    from merge_machine_spark.functions.textproj import project_documents
+    from merge_machine_spark.operators.blocking import explode_tokens
+    from merge_machine_spark.operators.scoring import tfidf_cosine_pairs
+    from merge_machine_spark.plans.pipeline import ResolveConfig, _pair_scores
+    from merge_machine_spark.sources.synth import generate_documents
+
+    cfg = ResolveConfig(threshold=0.45)
+    docs = generate_documents(spark, n_entities, seed=42).select("doc_id", "spans").persist()
+    n_raw = docs.count()
+    out = {"n_docs": n_raw}
+
+    def stage(name, fn):
+        spark.sparkContext.setJobDescription(f"er:{name}")
+        t0 = time.time()
+        r = fn()
+        out[name] = round(time.time() - t0, 3)
+        spark.sparkContext.setJobDescription(None)
+        print(f"{name}: {out[name]}s", flush=True)
+        return r
+
+    # stage 1: projection + analyzer (the per-doc pandas UDF)
+    proj = project_documents(docs, cfg.projections).cache()
+    n_docs = proj.count()
+    analyzed_cols = [
+        F.col("doc_id"),
+        A.analyze(cfg.block_proj, cfg.block_channel).alias("_rawtok"),
+        F.substring(F.col(cfg.block_proj), 1, cfg.jw_prefix).alias("_txt"),
+        F.array_distinct(A.analyze(cfg.block_proj, "integers")).alias("_toki"),
+    ]
+    analyzed = proj.select(*analyzed_cols).persist()
+    stage("analyze", lambda: analyzed.count())
+
+    # stage 2: token explode + tf
+    tok = explode_tokens(analyzed, "doc_id", F.col("_rawtok"), with_tf=True)
+    stage("explode_tf", lambda: _noop(tok))
+
+    # stage 3: TF-IDF scored self-join (candidate generation) + prefilter
+    pairs = tfidf_cosine_pairs(tok, max_df=cfg.max_df, n_docs=n_docs)
+    pairs = pairs.filter(F.col("tfidf_cosine") >= F.lit(cfg.prefilter_tfidf))
+    stage("tfidf_pairs", lambda: _noop(pairs))
+    release_tracked()
+
+    # stage 4: the full pair-scores DAG (analyzer cached from stage 1)
+    scores = _pair_scores(proj, cfg, n_docs)
+    stage("full_pair_scores", lambda: _noop(scores))
+    release_tracked()
+
+    # end-to-end cold (bench.py's timed shape: fresh cache, count())
+    spark.catalog.clearCache()
+    docs.persist().count()
+
+    def cold():
+        s = _pair_scores(project_documents(docs, cfg.projections).cache(),
+                         cfg, n_docs)
+        s = s.persist()
+        n = s.count()
+        release_tracked()
+        s.unpersist()
+        return n
+
+    out["pairs_scored"] = stage("cold_end_to_end", cold)
+    print(json.dumps(out), flush=True)
+
+
+def main() -> None:
+    from merge_machine_spark.sources.session import get_spark
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf1.0")
+    cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    mode = sys.argv[1] if len(sys.argv) > 1 else "headline"
+    spark = get_spark("bench_extra", cores=cores)
+    if mode == "headline":
+        headline(spark, sf_dir, repeats=int(sys.argv[2]) if len(sys.argv) > 2 else 2)
+    elif mode == "er":
+        er_stages(spark, int(sys.argv[2]) if len(sys.argv) > 2 else 200_000)
+    else:
+        raise SystemExit(f"unknown mode {mode}")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

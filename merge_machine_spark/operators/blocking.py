@@ -201,8 +201,15 @@ def lsh_band_table(df: DataFrame, id_col: str, tokens: Column, bands: int, rows:
     tight loop, where the nested-HOF signature expression cost ~seconds of
     analysis per query and re-hashed every token ``bands*rows`` times inside
     a per-row lambda. Docs with zero tokens vanish at the explode (no
-    all-empty collision bucket)."""
-    tok = df.select(F.col(id_col).alias("id"), F.explode(tokens).alias("token")).distinct()
+    all-empty collision bucket).
+
+    No per-(id, token) ``distinct`` before the aggregate (r6, guide §2.4):
+    ``min`` is insensitive to duplicate tokens, so deduping first only added
+    a full exchange + two aggregate passes over the exploded table (~15M
+    rows at sf1.0) for bit-identical signatures. The groupBy(id) partial
+    aggregation collapses each map partition to its doc count before the
+    only remaining exchange."""
+    tok = df.select(F.col(id_col).alias("id"), F.explode(tokens).alias("token"))
     num = bands * rows
     aggs = [F.min(F.xxhash64(F.col("token"), F.lit(i))).alias(f"_h{i}") for i in range(num)]
     sig = tok.groupBy("id").agg(*aggs)
