@@ -40,14 +40,18 @@ def _ev_us(col: str) -> "F.Column":
 
 
 def _tokens(spark, sf_dir) -> DataFrame:
-    """(doc_id, token) distinct — J1's exploded token table (SURVEY §2.3)."""
+    """(doc_id, token) distinct — J1's exploded token table (SURVEY §2.3).
+
+    r6 (guide §2.4 "remove shuffles outright"): duplicates of (doc_id,
+    token) can only come from WITHIN one document (doc_id is part of the
+    key), so per-doc ``array_distinct`` before the explode produces the
+    exact global-distinct row set with ZERO exchanges — the r5 shape paid a
+    full shuffle + two aggregate passes over the exploded table (~2.6M rows
+    at sf1.0) for the same rows."""
     docs = _t(spark, sf_dir, "documents")
     toks = F.split(F.lower(F.coalesce(F.col("text"), F.lit(""))), _TOKEN_SPLIT)
-    return (
-        docs.select(F.col("doc_id"), F.explode(toks).alias("token"))
-        .filter(F.col("token") != "")
-        .distinct()
-    )
+    arr = F.array_distinct(F.filter(toks, lambda t: t != F.lit("")))
+    return docs.select(F.col("doc_id"), F.explode(arr).alias("token"))
 
 
 def _block_keys(spark, sf_dir) -> DataFrame:
@@ -693,9 +697,15 @@ def q_tpch_top_orders(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
     dp = F.col("l_extendedprice").cast("decimal(16,2)")
     dd = F.col("l_discount").cast("decimal(6,2)")
+    # r6 (guide §3.1): associate the joins the cheap way round — reduce
+    # orders by the selective customer filter FIRST (1.5M -> ~300k keys at
+    # sf1.0), then broadcast only the surviving o_orderkeys to the lineitem
+    # probe. The r5 shape broadcast the FULL orders table (and customer)
+    # and probed lineitem through two joins. Inner-join reassociation:
+    # identical result.
+    ford = orders.join(cust, orders["o_custkey"] == cust["c_custkey"]).select("o_orderkey")
     rev = (
-        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
-        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+        li.join(F.broadcast(ford), li["l_orderkey"] == ford["o_orderkey"])
         .groupBy("o_orderkey")
         .agg(F.sum((dp * (F.lit(1).cast("decimal(6,2)") - dd)).cast("decimal(24,4)")).alias("_rev"))
     )
@@ -827,11 +837,24 @@ def q_minhash_lsh_pairs(spark, sf_dir):
     from merge_machine_spark.functions import analyzers as A
     from merge_machine_spark.operators.blocking import lsh_candidate_pairs
 
-    docs = _t(spark, sf_dir, "documents").select(F.col("doc_id").cast("string").alias("doc_id"), "text")
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     # bands=8, rows=4: at rows=2 the 3-gram channel emitted ~89% of the cross
     # join (unselective demo); 4 rows/band keeps recall for near-dups while
     # exhibiting the sub-quadratic candidate generation the module is for.
-    return lsh_candidate_pairs(docs, "doc_id", A.n_grams(F.col("text")), bands=8, rows=4)
+    #
+    # r6 (guide §2.3 narrower types): the LSH join/distinct runs on BIGINT
+    # ids (the r5 shape cast to string first, so the band self-join and the
+    # 4.9M-row pair distinct exchanged/compared strings). The historical
+    # string-typed, lexicographically-canonicalized output contract is
+    # restored at the end: least/greatest on the string casts reproduces the
+    # golden's id_a < id_b STRING ordering exactly — the unordered candidate
+    # set is id-type-independent, only which side is id_a changes.
+    pairs = lsh_candidate_pairs(docs, "doc_id", A.n_grams_fast(F.col("text")), bands=8, rows=4)
+    sa = F.col("id_a").cast("string")
+    sb = F.col("id_b").cast("string")
+    return pairs.select(
+        F.least(sa, sb).alias("id_a"), F.greatest(sa, sb).alias("id_b")
+    )
 
 
 def _simhash16_expr() -> "F.Column":

@@ -124,6 +124,156 @@ def er_stages(spark, n_entities: int) -> None:
     print(json.dumps(out), flush=True)
 
 
+def er_analyze_breakdown(spark, n_entities: int) -> None:
+    """Which piece of the ER DAG is expensive: per-channel analyzer costs,
+    token-join cardinalities, payload-feature costs — each noop-isolated."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from merge_machine_spark.caching import release_tracked
+    from merge_machine_spark.functions import analyzers as A
+    from merge_machine_spark.functions.textproj import project_documents
+    from merge_machine_spark.operators.blocking import explode_tokens
+    from merge_machine_spark.operators.scoring import payload_pair_features, tfidf_cosine_pairs
+    from merge_machine_spark.plans.pipeline import ResolveConfig
+    from merge_machine_spark.sources.synth import generate_documents
+
+    cfg = ResolveConfig(threshold=0.45)
+    docs = generate_documents(spark, n_entities, seed=42).select("doc_id", "spans").persist()
+    docs.count()
+    proj = project_documents(docs, cfg.projections).cache()
+    n_docs = proj.count()
+    out = {"n_docs": n_docs}
+
+    def stage(name, fn):
+        spark.sparkContext.setJobDescription(f"er2:{name}")
+        t0 = time.time()
+        r = fn()
+        out[name] = round(time.time() - t0, 3)
+        spark.sparkContext.setJobDescription(None)
+        print(f"{name}: {out[name]}s", flush=True)
+        return r
+
+    stage("proj_only", lambda: _noop(proj.select("doc_id", "full_text")))
+    stage("french_estab", lambda: _noop(proj.select("doc_id", A.analyze("full_text", "french_estab"))))
+    stage("french_estab_2nd", lambda: _noop(proj.select("doc_id", A.analyze("full_text", "french_estab"))))
+    stage("integers", lambda: _noop(proj.select("doc_id", F.array_distinct(A.analyze("full_text", "integers")))))
+    stage("substr96", lambda: _noop(proj.select("doc_id", F.substring("full_text", 1, 96))))
+
+    analyzed = proj.select(
+        F.col("doc_id"),
+        A.analyze("full_text", cfg.block_channel).alias("_rawtok"),
+        F.substring(F.col("full_text"), 1, cfg.jw_prefix).alias("_txt"),
+        F.array_distinct(A.analyze("full_text", "integers")).alias("_toki"),
+    ).persist()
+    stage("analyzed_all", lambda: analyzed.count())
+
+    tok = explode_tokens(analyzed, "doc_id", F.col("_rawtok"), with_tf=True)
+    stage("tok_rows", lambda: print("  tok rows:", tok.count()))
+    pairs = tfidf_cosine_pairs(tok, max_df=cfg.max_df, n_docs=n_docs)
+    stage("tfidf_pairs_all", lambda: _noop(pairs))
+    release_tracked()
+    pairs2 = tfidf_cosine_pairs(tok, max_df=cfg.max_df, n_docs=n_docs)
+    stage("tfidf_pairs_count", lambda: print("  pair rows:", pairs2.count()))
+    release_tracked()
+
+    pairs3 = tfidf_cosine_pairs(tok, max_df=cfg.max_df, n_docs=n_docs).filter(
+        F.col("tfidf_cosine") >= F.lit(cfg.prefilter_tfidf)
+    ).persist()
+    stage("tfidf_prefiltered_persist", lambda: print("  kept pairs:", pairs3.count()))
+
+    payload = analyzed.select(
+        F.col("doc_id"), F.col("_txt"), F.array_distinct(F.col("_rawtok")).alias("_tok"), F.col("_toki")
+    )
+    feat = payload_pair_features(pairs3, payload, payload, cfg.weights, broadcast_sides=False)
+    stage("payload_features", lambda: _noop(feat))
+    jw_only = payload_pair_features(pairs3, payload, payload, {"jaro_winkler": 0.2}, broadcast_sides=False)
+    stage("payload_jw_only", lambda: _noop(jw_only))
+    nojw = payload_pair_features(
+        pairs3, payload, payload, {k: v for k, v in cfg.weights.items() if k != "jaro_winkler"},
+        broadcast_sides=False,
+    )
+    stage("payload_no_jw", lambda: _noop(nojw))
+    release_tracked()
+    import json as _json
+
+    print(_json.dumps(out), flush=True)
+
+
+def er_join_isolation(spark, n_entities: int) -> None:
+    """Payload join cost vs feature-compute cost; token-join cardinality."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from merge_machine_spark.caching import release_tracked
+    from merge_machine_spark.functions import analyzers as A
+    from merge_machine_spark.functions.similarity import token_jaccard
+    from merge_machine_spark.functions.textproj import project_documents
+    from merge_machine_spark.operators.blocking import explode_tokens
+    from merge_machine_spark.operators.scoring import tfidf_cosine_pairs
+    from merge_machine_spark.plans.pipeline import ResolveConfig
+    from merge_machine_spark.sources.synth import generate_documents
+
+    cfg = ResolveConfig(threshold=0.45)
+    docs = generate_documents(spark, n_entities, seed=42).select("doc_id", "spans").persist()
+    docs.count()
+    proj = project_documents(docs, cfg.projections).cache()
+    n_docs = proj.count()
+    out = {"n_docs": n_docs}
+
+    def stage(name, fn):
+        spark.sparkContext.setJobDescription(f"er3:{name}")
+        t0 = time.time()
+        fn()
+        out[name] = round(time.time() - t0, 3)
+        spark.sparkContext.setJobDescription(None)
+        print(f"{name}: {out[name]}s", flush=True)
+
+    analyzed = proj.select(
+        F.col("doc_id"),
+        A.analyze("full_text", cfg.block_channel).alias("_rawtok"),
+        F.substring(F.col("full_text"), 1, cfg.jw_prefix).alias("_txt"),
+        F.array_distinct(A.analyze("full_text", "integers")).alias("_toki"),
+    ).persist()
+    analyzed.count()
+    tok = explode_tokens(analyzed, "doc_id", F.col("_rawtok"), with_tf=True).persist()
+    print("tok rows:", tok.count(), flush=True)
+    dfreq = tok.groupBy("token").agg(F.countDistinct("id").alias("df"))
+    print("vocab:", dfreq.count(), flush=True)
+    print("capped join fanout sum(df^2):",
+          dfreq.filter(F.col("df") <= 256).agg(F.sum(F.col("df") * F.col("df"))).collect()[0][0],
+          flush=True)
+
+    pairs3 = tfidf_cosine_pairs(tok, max_df=cfg.max_df, n_docs=n_docs).filter(
+        F.col("tfidf_cosine") >= F.lit(cfg.prefilter_tfidf)
+    ).persist()
+    print("kept pairs:", pairs3.count(), flush=True)
+    release_tracked()
+
+    payload = analyzed.select(
+        F.col("doc_id"), F.col("_txt"), F.array_distinct(F.col("_rawtok")).alias("_tok"), F.col("_toki")
+    )
+    a = payload.select(F.col("doc_id").alias("id_a"), F.col("_txt").alias("_txt_a"),
+                       F.col("_tok").alias("_tok_a"), F.col("_toki").alias("_toki_a"))
+    b = payload.select(F.col("doc_id").alias("id_b"), F.col("_txt").alias("_txt_b"),
+                       F.col("_tok").alias("_tok_b"), F.col("_toki").alias("_toki_b"))
+    joined = pairs3.join(a, "id_a").join(b, "id_b")
+    stage("join_only_full_payload", lambda: _noop(joined.select("id_a", "id_b", F.length("_txt_a") + F.length("_txt_b"))))
+    stage("join_plus_tok_jaccard", lambda: _noop(
+        pairs3.join(a.select("id_a", "_tok_a"), "id_a").join(b.select("id_b", "_tok_b"), "id_b")
+        .select("id_a", "id_b", token_jaccard(F.col("_tok_a"), F.col("_tok_b")).alias("tj"))))
+    stage("join_plus_int_jaccard", lambda: _noop(
+        pairs3.join(a.select("id_a", "_toki_a"), "id_a").join(b.select("id_b", "_toki_b"), "id_b")
+        .select("id_a", "id_b", token_jaccard(F.col("_toki_a"), F.col("_toki_b")).alias("ij"))))
+    stage("join_ids_only", lambda: _noop(
+        pairs3.join(a.select("id_a"), "id_a").join(b.select("id_b"), "id_b")))
+    import json as _json
+
+    print(_json.dumps(out), flush=True)
+
+
 def main() -> None:
     from merge_machine_spark.sources.session import get_spark
 
@@ -135,6 +285,10 @@ def main() -> None:
         headline(spark, sf_dir, repeats=int(sys.argv[2]) if len(sys.argv) > 2 else 2)
     elif mode == "er":
         er_stages(spark, int(sys.argv[2]) if len(sys.argv) > 2 else 200_000)
+    elif mode == "er2":
+        er_analyze_breakdown(spark, int(sys.argv[2]) if len(sys.argv) > 2 else 200_000)
+    elif mode == "er3":
+        er_join_isolation(spark, int(sys.argv[2]) if len(sys.argv) > 2 else 200_000)
     else:
         raise SystemExit(f"unknown mode {mode}")
     spark.stop()

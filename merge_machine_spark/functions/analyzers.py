@@ -122,7 +122,9 @@ def french_estab(col: Column | str) -> Column:
 def n_grams(col: Column | str, n: int = 3) -> Column:
     """Char n-grams (default 3) over letter/digit runs, lowercased
     (no_resource_analyzer_definitions.py:125-144). Runs shorter than n emit
-    nothing, matching the ES ngram tokenizer."""
+    nothing, matching the ES ngram tokenizer. Pure expression — composable
+    anywhere, including inside higher-order-function lambdas (see
+    :func:`n_grams_fast` for the explode-path fast variant)."""
     runs = _non_empty(F.split(F.lower(F.coalesce(_c(col), F.lit(""))), r"[^\p{L}\p{N}]+"))
     grams = F.transform(
         runs,
@@ -132,6 +134,40 @@ def n_grams(col: Column | str, n: int = 3) -> Column:
         ).otherwise(F.array().cast("array<string>")),
     )
     return F.flatten(grams)
+
+
+def n_grams_fast(col: Column | str, n: int = 3) -> Column:
+    """Token-stream-identical fast variant of :func:`n_grams` (r6, guide
+    §4.2): the run SPLIT stays the exact JVM regex (``[^\\p{L}\\p{N}]+`` —
+    unicode classes the Python ``re`` module does not reproduce exactly),
+    while the per-run gram EXPANSION — the nested-HOF part whose interpreted
+    lambdas cost ~135us/doc at ~300 chars (measured r6: 6.7s of
+    minhash_lsh_pairs' 14s at sf1.0 was the expression alone) — runs as an
+    Arrow-batched slice loop in Python. Spark's ``substring``/``length``
+    count code points, exactly like Python ``str`` slicing, so the streams
+    are identical for ALL unicode input (pinned vs :func:`n_grams` in
+    tests/test_analyzers.py).
+
+    Limitation (why this is not the default): a Python-evaluated column
+    cannot be nested inside HOF lambdas (Spark UNSUPPORTED_FEATURE), so use
+    it where the grams are exploded/aggregated directly — the LSH shingle
+    channels — and keep :func:`n_grams` for expression composition."""
+    runs = _non_empty(F.split(F.lower(F.coalesce(_c(col), F.lit(""))), r"[^\p{L}\p{N}]+"))
+
+    @F.pandas_udf(ArrayType(StringType()))
+    def _expand(rs: pd.Series) -> pd.Series:  # pragma: no cover - via Spark
+        def one(runs_arr):
+            out: list[str] = []
+            if runs_arr is None:
+                return out
+            for r in runs_arr:
+                for i in range(len(r) - (n - 1)):
+                    out.append(r[i : i + n])
+            return out
+
+        return rs.map(one)
+
+    return _expand(runs)
 
 
 # --- F5 integers -------------------------------------------------------------

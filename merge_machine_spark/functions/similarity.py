@@ -116,9 +116,19 @@ _FALLBACK_WARNED = False  # once per worker process
 def jaro_winkler_udf(a: pd.Series, b: pd.Series) -> pd.Series:  # pragma: no cover - exercised via Spark
     a = a.fillna("")
     b = b.fillna("")
+    # DuckDB's C implementation measures 3-10x faster than our own C JW
+    # kernel (native_sim.jw_batch) at every length tried (r6 microbench:
+    # 20k x 96-char pairs 0.08s vs 0.27s; 300-char 0.14s vs 1.35s), so it
+    # stays the primary path; the native kernel slots in as the SECOND
+    # fallback — still ~5x the pure-Python loop and bit-identical
+    # (tests/test_native_sim.py) — before the Python kernel.
     fast = _duckdb_jw_batch(a, b)
     if fast is not None:
         return fast
+    from .native_sim import have_native, jw_batch
+
+    if have_native():
+        return pd.Series(jw_batch(a.tolist(), b.tolist()), dtype="float64")
     global _FALLBACK_WARNED
     if not _FALLBACK_WARNED:
         _FALLBACK_WARNED = True

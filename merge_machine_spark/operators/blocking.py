@@ -233,6 +233,15 @@ def lsh_candidate_pairs(
     pathological buckets (all-identical boilerplate) the same way df-cap
     bounds token blocks."""
     bandtab = lsh_band_table(df, id_col, tokens, bands, rows)
+    # Materialize the band table ONCE (r6, guide §2.4/§5): it feeds the
+    # bucket-size aggregate AND both sides of the self-join, and without a
+    # checkpoint Catalyst re-evaluates the whole explode + bands*rows
+    # min-hash aggregate subtree (the expensive part — n-gram analysis of
+    # every doc) up to 3x per run. localCheckpoint truncates lineage within
+    # this one query evaluation; each call builds a fresh DataFrame, so
+    # nothing persists across bench runs. The table is small: bands rows
+    # per doc of (id, int, long).
+    bandtab = bandtab.localCheckpoint(eager=False)
     sizes = bandtab.groupBy("band", "band_hash").agg(F.count(F.lit(1)).alias("bucket_n"))
     if report is not None:
         dropped = sizes.filter(F.col("bucket_n") > max_bucket).agg(

@@ -64,7 +64,16 @@ def tfidf_cosine_pairs(
     corpus = tokens_tf_a if self_join else tokens_tf_a.unionByName(tokens_tf_b)
     if n_docs is None:
         n_docs = corpus.select("id").distinct().count()
-    dfreq = corpus.groupBy("token").agg(F.countDistinct("id").alias("df"))
+    # Precondition (every in-repo caller satisfies it — the shape
+    # ``explode_tokens(with_tf=True)`` produces): tokens_tf has ONE row per
+    # (id, token). In self-join mode count(*) therefore equals
+    # countDistinct(id) and skips Spark's distinct-expand (a full extra
+    # aggregate pass + exchange over the token table — r6, guide §2.3).
+    # Linkage mode keeps countDistinct: the a/b id spaces may overlap.
+    if self_join:
+        dfreq = corpus.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    else:
+        dfreq = corpus.groupBy("token").agg(F.countDistinct("id").alias("df"))
 
     def weighted(t: DataFrame) -> DataFrame:
         # UNNORMALIZED tf-idf weight; the L2 norm divides at pair level
@@ -97,7 +106,10 @@ def tfidf_cosine_pairs(
     jb = wb.select("id", "token", F.col("w").alias("wb"))
     a = ja.alias("a")
     b = jb.alias("b")
-    pairs = a.join(b, "token")
+    # shuffled-hash beats sort-merge here (guide §3.1): both sides are the
+    # df-capped weighted token table (memory-bounded per partition by the
+    # cap), and SMJ's two full sorts of that table were pure overhead.
+    pairs = a.join(b.hint("shuffle_hash"), "token")
     if self_join:
         pairs = pairs.filter(F.col("a.id") < F.col("b.id"))
     dots = (

@@ -109,8 +109,11 @@ def _pair_scores(proj: DataFrame, cfg: ResolveConfig, n_docs: int) -> DataFrame:
         # is near-dups that share NO surviving block-channel token (their
         # tfidf_cosine is 0), so they must be exempt from the TF-IDF
         # prefilter below — otherwise the channel is silently dead.
+        # n_grams_fast: token-stream-identical Arrow expansion (analyzers.py
+        # r6) — the shingles are exploded inside lsh_candidate_pairs, the
+        # exact context the fast variant is for.
         lsh = lsh_candidate_pairs(
-            proj, "doc_id", A.analyze(cfg.block_proj, "n_grams"), bands=cfg.lsh_bands, rows=cfg.lsh_rows
+            proj, "doc_id", A.n_grams_fast(F.col(cfg.block_proj)), bands=cfg.lsh_bands, rows=cfg.lsh_rows
         )
         pairs = (
             pairs.select("id_a", "id_b", "tfidf_cosine", F.lit(False).alias("_from_lsh"))

@@ -78,6 +78,7 @@ def minhash_fingerprint() -> str:
             B.lsh_bands,
             B.minhash_signature,
             A.n_grams,
+            A.n_grams_fast,
         ]
     )
 

@@ -60,6 +60,27 @@ def test_n_grams(spark):
     assert _run(spark, A.n_grams(F.col("t")), "a-b") == []
 
 
+def test_n_grams_fast_matches_expression_reference(spark):
+    """The r6 Arrow-expanded n_grams_fast must emit the exact token stream
+    of the pure-expression n_grams, including unicode (code-point slicing)
+    and run/word ordering."""
+    import random
+
+    rng = random.Random(13)
+    alphabet = "abcDEF012 -_.éüœ日本語x"
+    texts = [None, "", "ab", "abc", "a-b_c.d",
+             "日本語のテキスト abcdéfü 0123456789"] + [
+        "".join(rng.choice(alphabet) for _ in range(rng.randint(0, 120))) for _ in range(200)
+    ]
+    df = spark.createDataFrame([(t,) for t in texts], "t string")
+    got = df.select(A.n_grams_fast(F.col("t")).alias("g")).collect()
+    exp = df.select(A.n_grams(F.col("t")).alias("g")).collect()
+    assert [r["g"] for r in got] == [r["g"] for r in exp]
+    got2 = df.select(A.n_grams_fast(F.col("t"), 2).alias("g")).collect()
+    exp2 = df.select(A.n_grams(F.col("t"), 2).alias("g")).collect()
+    assert [r["g"] for r in got2] == [r["g"] for r in exp2]
+
+
 def test_integers_shingles(spark):
     # leading-zero trim + adjacency shingles up to 5, '' separator
     out = _run(spark, A.integers(F.col("t")), "rue 007 bis 12")
