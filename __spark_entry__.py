@@ -51,7 +51,12 @@ def _tokens(spark, sf_dir) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     toks = F.split(F.lower(F.coalesce(F.col("text"), F.lit(""))), _TOKEN_SPLIT)
     arr = F.array_distinct(F.filter(toks, lambda t: t != F.lit("")))
-    return docs.select(F.col("doc_id"), F.explode(arr).alias("token"))
+    # the driver parquet is one row group -> single-task scan; spreading the
+    # 50k doc rows (~16 MiB exchange) parallelizes the explode 32x
+    return (
+        docs.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+        .select(F.col("doc_id"), F.explode(arr).alias("token"))
+    )
 
 
 def _block_keys(spark, sf_dir) -> DataFrame:
@@ -732,6 +737,10 @@ def q_events_hourly_rollup(spark, sf_dir):
     """Batch analog of the streaming windowed aggregation: per-hour,
     per-type event rollup with exact decimal value sums."""
     ev = _t(spark, sf_dir, "events")
+    # single-row-group input file -> spread the raw rows before the
+    # date_format + decimal aggregation so it runs on all cores (the format
+    # + partial agg were single-task in the scan layout)
+    ev = ev.repartition(spark.sparkContext.defaultParallelism, "user_id")
     return (
         ev.groupBy(
             F.date_format("ts", "yyyy-MM-dd HH").alias("hour"), F.col("event_type")

@@ -102,7 +102,25 @@ def _pair_scores(proj: DataFrame, cfg: ResolveConfig, n_docs: int) -> DataFrame:
         analyzed_cols.append(F.array_distinct(A.analyze(cfg.block_proj, "integers")).alias("_toki"))
     analyzed = track(proj.select(*analyzed_cols).persist())
 
-    tok = explode_tokens(analyzed, "doc_id", F.col("_rawtok"), with_tf=True)
+    # Per-doc term frequencies with ZERO exchange (r6, guide §2.4): the
+    # generic explode_tokens(with_tf=True) pays a full (id, token) groupBy
+    # shuffle over the exploded table (~7M rows at 600k docs) whose partial
+    # aggregation barely reduces anything (tokens are mostly unique within a
+    # doc+partition). tf is a per-document quantity — compute it per row
+    # over the cached _rawtok attribute and explode the result. Identical
+    # (id, token, tf) rows. (Only valid over a concrete column: HOF lambdas
+    # cannot wrap Python-UDF expressions, so generic explode_tokens keeps
+    # the groupBy shape for analyzer-expression callers.)
+    tf_pairs = F.transform(
+        F.array_distinct(F.col("_rawtok")),
+        lambda t: F.struct(
+            t.alias("token"),
+            F.size(F.filter(F.col("_rawtok"), lambda x: x == t)).cast("bigint").alias("tf"),
+        ),
+    )
+    tok = analyzed.select(
+        F.col("doc_id").alias("id"), F.explode(tf_pairs).alias("_p")
+    ).select("id", F.col("_p.token").alias("token"), F.col("_p.tf").alias("tf"))
     pairs = tfidf_cosine_pairs(tok, max_df=cfg.max_df, n_docs=n_docs)
     if cfg.use_lsh:
         # LSH-sourced pairs carry provenance: the whole point of the channel
