@@ -39,12 +39,12 @@ def _large_star(edges: DataFrame) -> DataFrame:
     mins = both.groupBy("n").agg(F.min("nbr").alias("mn")).select(
         "n", F.least(F.col("mn"), F.col("n")).alias("m")
     )
-    # shuffled-hash, not sort-merge (r6, guide §3.1): the build side is the
-    # per-node scalar-min table (one row per node, memory-bounded per
-    # partition); SMJ's sorts of the doubled edge list were pure overhead
-    # in every CC iteration.
+    # join strategy left to planner + AQE (session r6 config): small edge
+    # sets broadcast mins, large ones shuffled-hash instead of sort-merge —
+    # an explicit hint here would override the broadcast choice that small
+    # iterations want.
     out = (
-        both.join(mins.hint("shuffle_hash"), "n")
+        both.join(mins, "n")
         .filter(F.col("nbr") > F.col("n"))
         .select(F.col("nbr").alias("u"), F.col("m").alias("v"))
     )
@@ -60,8 +60,7 @@ def _small_star(edges: DataFrame) -> DataFrame:
     (n, m) row per group taken from the aggregate itself."""
     oriented = edges.select(F.greatest("u", "v").alias("n"), F.least("u", "v").alias("nbr"))
     mins = oriented.groupBy("n").agg(F.min("nbr").alias("m"))
-    # same shuffled-hash build-on-mins rationale as _large_star (r6)
-    per_edge = oriented.join(mins.hint("shuffle_hash"), "n").select(F.col("nbr").alias("x"), "m")
+    per_edge = oriented.join(mins, "n").select(F.col("nbr").alias("x"), "m")
     self_rows = mins.select(F.col("n").alias("x"), "m")
     out = per_edge.unionAll(self_rows)
     return (

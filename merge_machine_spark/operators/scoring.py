@@ -74,15 +74,10 @@ def tfidf_cosine_pairs(
         dfreq = corpus.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
     else:
         dfreq = corpus.groupBy("token").agg(F.countDistinct("id").alias("df"))
-    # Dictionary-encode the join key (r6, guide §2.3 narrower types): every
-    # weighted row already broadcast-joins dfreq for its df, so a dense
-    # integer token id rides along for free (row_number over the vocab —
-    # a single-partition window over a vocab-sized table) and the hot token
-    # self-join + df-cap then key on BIGINT instead of STRING. Bijective
-    # token<->tid: identical pairs and dots.
-    from pyspark.sql import Window as _W
-
-    dfreq = dfreq.withColumn("tid", F.row_number().over(_W.orderBy("token")))
+    # (r6 note: a dense row_number token id for a bigint join key was tried
+    # here and REVERTED — the vocab-wide single-partition window serialized
+    # the dfreq subtree on every re-evaluation and tripled the 60k-doc
+    # trial; string join keys with the broadcast/AQE strategy are fine.)
 
     def weighted(t: DataFrame) -> DataFrame:
         # UNNORMALIZED tf-idf weight; the L2 norm divides at pair level
@@ -90,7 +85,7 @@ def tfidf_cosine_pairs(
         # token-level normalize join (~|tokens| rows) into two doc-level
         # joins against a |docs|-row norms table that AQE broadcasts.
         return t.join(dfreq, "token").select(
-            "id", "tid",
+            "id", "token",
             (F.col("tf").cast("double") * (F.log(F.lit(float(n_docs + 1)) / (F.col("df") + 1)) + 1.0)).alias("w"),
         )
 
@@ -105,20 +100,23 @@ def tfidf_cosine_pairs(
     norms_a = wa.groupBy("id").agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("norm"))
     norms_b = norms_a if self_join else wb.groupBy("id").agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("norm"))
     if max_df is not None:
-        keep = dfreq.filter(F.col("df") <= max_df).select("tid")
-        wa = wa.join(keep, "tid", "left_semi")
-        wb = wa if self_join else wb.join(keep, "tid", "left_semi")
+        keep = dfreq.filter(F.col("df") <= max_df).select("token")
+        wa = wa.join(keep, "token", "left_semi")
+        wb = wa if self_join else wb.join(keep, "token", "left_semi")
     # After the df-cap, per-token fan-out is bounded by max_df² pairs, so a
     # plain shuffle join + AQE skew-split is enough here; explicit salting
     # (salted_token_join) is reserved for uncapped joins.
-    ja = wa.select("id", "tid", F.col("w").alias("wa"))
-    jb = wb.select("id", "tid", F.col("w").alias("wb"))
+    ja = wa.select("id", "token", F.col("w").alias("wa"))
+    jb = wb.select("id", "token", F.col("w").alias("wb"))
     a = ja.alias("a")
     b = jb.alias("b")
-    # shuffled-hash beats sort-merge here (guide §3.1): both sides are the
-    # df-capped weighted token table (memory-bounded per partition by the
-    # cap), and SMJ's two full sorts of that table were pure overhead.
-    pairs = a.join(b.hint("shuffle_hash"), "tid")
+    # join strategy is left to the planner + AQE (session config r6:
+    # preferSortMergeJoin=false + maxShuffledHashJoinLocalMapThreshold):
+    # small corpora broadcast this join outright, large ones get
+    # shuffled-hash instead of sort-merge from MEASURED partition sizes.
+    # (An explicit shuffle_hash hint here regressed small corpora 3x by
+    # overriding the broadcast choice — measured r6.)
+    pairs = a.join(b, "token")
     if self_join:
         pairs = pairs.filter(F.col("a.id") < F.col("b.id"))
     dots = (
@@ -191,14 +189,11 @@ def payload_pair_features(
     b = payload_b.select([F.col(c).alias(f"{c}_b" if c != "doc_id" else "id_b") for c in payload_b.columns])
     if broadcast_sides:
         a, b = F.broadcast(a), F.broadcast(b)
-        scored = pairs.join(a, "id_a").join(b, "id_b")
-    else:
-        # co-partition fallback (guide §3.1): build the hash table from the
-        # doc-level payload side instead of sort-merge — SMJ would sort the
-        # PAIR plane (with the a-side payload riding the second sort) twice;
-        # the payload side is doc-count-bounded per partition, so the SHJ
-        # build fits by construction.
-        scored = pairs.join(a.hint("shuffle_hash"), "id_a").join(b.hint("shuffle_hash"), "id_b")
+    # else: co-partition fallback — the planner + AQE (session r6 config)
+    # build the hash side from the doc-level payload at runtime instead of
+    # sort-merge, which sorted the PAIR plane twice with the a-side payload
+    # riding the second sort.
+    scored = pairs.join(a, "id_a").join(b, "id_b")
 
     fmap: dict[str, Column] = {}
     if "jaro_winkler" in weights:

@@ -42,6 +42,17 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # guide §3.1/§9 (r6): allow shuffled-hash join instead of sort-merge
+        # when a side fits a per-partition hash map — broadcast still wins
+        # when a side is under autoBroadcastJoinThreshold, and genuinely
+        # huge joins stay SMJ (spill-safe). The AQE threshold converts
+        # planned SMJs at runtime from MEASURED partition sizes, so the
+        # choice is scale-adaptive rather than stats-guessed; 256m per
+        # partition is safe in this 48g-driver local mode and a reasonable
+        # executor default (document/override for small-memory executors).
+        .config("spark.sql.join.preferSortMergeJoin", "false")
+        .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+                os.environ.get("SPARK_GRAFT_SHJ_LOCAL_MAP", "256m"))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.sql.optimizer.nestedSchemaPruning.enabled", "true")
