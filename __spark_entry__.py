@@ -737,10 +737,9 @@ def q_events_hourly_rollup(spark, sf_dir):
     """Batch analog of the streaming windowed aggregation: per-hour,
     per-type event rollup with exact decimal value sums."""
     ev = _t(spark, sf_dir, "events")
-    # single-row-group input file -> spread the raw rows before the
-    # date_format + decimal aggregation so it runs on all cores (the format
-    # + partial agg were single-task in the scan layout)
-    ev = ev.repartition(spark.sparkContext.defaultParallelism, "user_id")
+    # left in the scan layout (r6): the query is scan/decode-bound — a
+    # repartition before the aggregation won 0.2s at sf1.0 but cost 0.2s at
+    # sf0.1 (measured both ways), so the r5 shape stays
     return (
         ev.groupBy(
             F.date_format("ts", "yyyy-MM-dd HH").alias("hour"), F.col("event_type")
