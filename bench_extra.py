@@ -274,6 +274,42 @@ def er_join_isolation(spark, n_entities: int) -> None:
     print(_json.dumps(out), flush=True)
 
 
+def cc_isolation(spark, n_entities: int) -> None:
+    """connected_components cost in isolation, at the bench's edge scale:
+    generate docs -> pair scores -> threshold edges (persisted, OUTSIDE the
+    timed window) -> time CC end-to-end, repeated."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from merge_machine_spark.caching import release_tracked
+    from merge_machine_spark.functions.textproj import project_documents
+    from merge_machine_spark.operators.clustering import connected_components
+    from merge_machine_spark.plans.pipeline import ResolveConfig, _pair_scores
+    from merge_machine_spark.sources.synth import generate_documents
+
+    cfg = ResolveConfig(threshold=0.45)
+    docs = generate_documents(spark, n_entities, seed=42).select("doc_id", "spans").persist()
+    docs.count()
+    proj = project_documents(docs, cfg.projections).cache()
+    n_docs = proj.count()
+    scores = _pair_scores(proj, cfg, n_docs)
+    edges = scores.filter(F.col("score") >= F.lit(cfg.threshold)).select("id_a", "id_b").persist()
+    n_edges = edges.count()
+    release_tracked()
+    out = {"n_docs": n_docs, "n_edges": n_edges, "cc_runs": []}
+    for i in range(3):
+        spark.sparkContext.setJobDescription(f"cc:run{i}")
+        t0 = time.time()
+        assign = connected_components(edges)
+        n_clusters = assign.select("cluster_id").distinct().count()
+        out["cc_runs"].append(round(time.time() - t0, 3))
+        spark.sparkContext.setJobDescription(None)
+        print(f"cc run {i}: {out['cc_runs'][-1]}s clusters={n_clusters}", flush=True)
+    out["n_clusters"] = n_clusters
+    print(json.dumps(out), flush=True)
+
+
 def main() -> None:
     from merge_machine_spark.sources.session import get_spark
 
@@ -289,6 +325,8 @@ def main() -> None:
         er_analyze_breakdown(spark, int(sys.argv[2]) if len(sys.argv) > 2 else 200_000)
     elif mode == "er3":
         er_join_isolation(spark, int(sys.argv[2]) if len(sys.argv) > 2 else 200_000)
+    elif mode == "cc":
+        cc_isolation(spark, int(sys.argv[2]) if len(sys.argv) > 2 else 200_000)
     else:
         raise SystemExit(f"unknown mode {mode}")
     spark.stop()

@@ -25,42 +25,59 @@ def _canon_edges(edges: DataFrame, a: str, b: str) -> DataFrame:
     return edges.select(u.alias("u"), v.alias("v")).filter(F.col("u") != F.col("v")).distinct()
 
 
-def _large_star(edges: DataFrame) -> DataFrame:
+# Above this many edges the per-iteration star joins hint("shuffle_hash"):
+# the mins aggregate is then ~|nodes| rows, and the planner's broadcast of
+# it costs a SERIAL driver-side collect+build per star (2 per iteration)
+# that anchors the loop — measured at 735k edges: 1.50s/iteration
+# shuffle-hash vs 1.89s broadcast (and broadcast build cost grows with the
+# graph while the shuffle parallelizes). Small graphs keep the planner's
+# broadcast choice, which wins there. The threshold is a data-size bound
+# (driver build cost), not a core-count tunable.
+BIG_STAR_EDGES = 150_000
+
+
+def _large_star(edges: DataFrame, big: bool = False) -> DataFrame:
     """For each node n and its neighborhood Γ(n): connect every strictly
     larger neighbor to m = min(Γ(n) ∪ {n}).
 
     Hub-safe formulation: m is a scalar ``groupBy(n).min(nbr)`` (map-side
     partial agg, no arrays), joined back to the per-edge rows and emitted
     row-wise. A 10^8-degree hub is 10^8 small rows spread across
-    partitions, never one multi-GB ``collect_set`` row."""
+    partitions, never one multi-GB ``collect_set`` row.
+
+    ``big`` (r6): hint the node-scale mins aggregate shuffle-hash instead
+    of letting the planner broadcast it (see BIG_STAR_EDGES). Output is NOT
+    distinct'd (r6): the iteration boundary (_small_star's trailing
+    distinct) canonicalizes, and duplicate intermediate rows only ride the
+    next exchange instead of paying a dedup exchange here."""
     both = edges.select(F.col("u").alias("n"), F.col("v").alias("nbr")).unionAll(
         edges.select(F.col("v").alias("n"), F.col("u").alias("nbr"))
     )
     mins = both.groupBy("n").agg(F.min("nbr").alias("mn")).select(
         "n", F.least(F.col("mn"), F.col("n")).alias("m")
     )
-    # join strategy left to planner + AQE (session r6 config): small edge
-    # sets broadcast mins, large ones shuffled-hash instead of sort-merge —
-    # an explicit hint here would override the broadcast choice that small
-    # iterations want.
     out = (
-        both.join(mins, "n")
+        both.join(mins.hint("shuffle_hash") if big else mins, "n")
         .filter(F.col("nbr") > F.col("n"))
         .select(F.col("nbr").alias("u"), F.col("m").alias("v"))
     )
-    return out.filter(F.col("u") != F.col("v")).distinct()
+    return out.filter(F.col("u") != F.col("v"))
 
 
-def _small_star(edges: DataFrame) -> DataFrame:
+def _small_star(edges: DataFrame, big: bool = False) -> DataFrame:
     """Orient edges big->small; for each node n connect all smaller
     neighbors (and n) to the minimum of them.
 
     Hub-safe: same min+join-back shape as ``_large_star`` — the per-group
     minimum is a scalar aggregate, emission is per-edge row-wise, plus one
-    (n, m) row per group taken from the aggregate itself."""
+    (n, m) row per group taken from the aggregate itself. Same ``big``
+    join-strategy rule; the trailing distinct is the iteration's canonical
+    dedup."""
     oriented = edges.select(F.greatest("u", "v").alias("n"), F.least("u", "v").alias("nbr"))
     mins = oriented.groupBy("n").agg(F.min("nbr").alias("m"))
-    per_edge = oriented.join(mins, "n").select(F.col("nbr").alias("x"), "m")
+    per_edge = oriented.join(mins.hint("shuffle_hash") if big else mins, "n").select(
+        F.col("nbr").alias("x"), "m"
+    )
     self_rows = mins.select(F.col("n").alias("x"), "m")
     out = per_edge.unionAll(self_rows)
     return (
@@ -97,7 +114,10 @@ def connected_components(
     cur = _canon_edges(edges, a, b).localCheckpoint(eager=True)
     sig = _signature(cur)
     for it in range(max_iter):
-        nxt = _small_star(_large_star(cur))
+        # the signature already carries the current edge count for free —
+        # use it to pick the per-iteration join strategy (BIG_STAR_EDGES)
+        big = sig[0] >= BIG_STAR_EDGES
+        nxt = _small_star(_large_star(cur, big=big), big=big)
         if checkpoint_dir is not None and (it + 1) % checkpoint_every == 0:
             path = f"{checkpoint_dir}/cc_iter_{it:03d}"
             nxt.write.mode("overwrite").parquet(path)

@@ -32,6 +32,11 @@ from ..functions import similarity as S
 # ---------------------------------------------------------------------------
 # TF-IDF scored token join (candidate generation + cosine in one pass)
 # ---------------------------------------------------------------------------
+# Per-doc norm rows are ~30 B; up to this many docs the norms tables are
+# explicitly broadcast so the pair plane never shuffles just to attach two
+# doubles (~60 MB at the ceiling — the guide's "few hundred MB is fine"
+# broadcast range). Data-size bound, not a core-count tunable.
+NORMS_BROADCAST_MAX_DOCS = 2_000_000
 def tfidf_weighted_tokens(tokens_tf: DataFrame, dfreq: DataFrame, n_docs: int) -> DataFrame:
     """(id, token, tf) -> (id, token, w) with w L2-normalized per doc.
 
@@ -72,6 +77,13 @@ def tfidf_cosine_pairs(
     # Linkage mode keeps countDistinct: the a/b id spaces may overlap.
     if self_join:
         dfreq = corpus.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+        # dfreq is referenced three times (the idf weighting, the two df-cap
+        # semi-joins) and Spark 4.1 does NOT reuse identical broadcast/
+        # exchange subtrees across cache-reading branches — measured at 600k
+        # docs: the token explode+aggregate ran 3x (~330s executor time per
+        # evaluation at 32 cores) without this persist (r6, guide §2.4).
+        # Vocab-sized; tracked so the caller releases it.
+        dfreq = track(dfreq.persist())
     else:
         dfreq = corpus.groupBy("token").agg(F.countDistinct("id").alias("df"))
     # (r6 note: a dense row_number token id for a bigint join key was tried
@@ -98,6 +110,10 @@ def tfidf_cosine_pairs(
     wb = wa if self_join else weighted(tokens_tf_b)
     # norms over the FULL vocabulary (pre-cap), like the reference's vector
     norms_a = wa.groupBy("id").agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("norm"))
+    if self_join:
+        # referenced twice (id_a and id_b sides) — same no-subtree-reuse
+        # story as dfreq above; doc-sized (r6).
+        norms_a = track(norms_a.persist())
     norms_b = norms_a if self_join else wb.groupBy("id").agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("norm"))
     if max_df is not None:
         keep = dfreq.filter(F.col("df") <= max_df).select("token")
@@ -106,10 +122,14 @@ def tfidf_cosine_pairs(
     # After the df-cap, per-token fan-out is bounded by max_df² pairs, so a
     # plain shuffle join + AQE skew-split is enough here; explicit salting
     # (salted_token_join) is reserved for uncapped joins.
-    ja = wa.select("id", "token", F.col("w").alias("wa"))
-    jb = wb.select("id", "token", F.col("w").alias("wb"))
-    a = ja.alias("a")
-    b = jb.alias("b")
+    #
+    # In self-join mode BOTH sides are the IDENTICAL DataFrame; the per-side
+    # renames happen AFTER the join via the aliases (r6). Renaming before
+    # the join gave the two sides structurally different subtrees, which
+    # blocks Spark's exchange reuse whenever the join does shuffle (guide
+    # §2.4); identical sides keep that option open at zero cost.
+    a = wa.alias("a")
+    b = (wa if self_join else wb.select("id", "token", "w")).alias("b")
     # join strategy is left to the planner + AQE (session config r6:
     # preferSortMergeJoin=false + maxShuffledHashJoinLocalMapThreshold):
     # small corpora broadcast this join outright, large ones get
@@ -121,10 +141,19 @@ def tfidf_cosine_pairs(
         pairs = pairs.filter(F.col("a.id") < F.col("b.id"))
     dots = (
         pairs.groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .agg(F.sum(F.col("a.wa") * F.col("b.wb")).alias("_dot"))
+        .agg(F.sum(F.col("a.w") * F.col("b.w")).alias("_dot"))
     )
     na = norms_a.select(F.col("id").alias("id_a"), F.col("norm").alias("_na"))
     nb = norms_b.select(F.col("id").alias("id_b"), F.col("norm").alias("_nb"))
+    # The norms tables are doc-scale (~30 B/doc) but sit above an aggregate,
+    # so the planner's size ESTIMATE blocks auto-broadcast and the PAIR
+    # plane got exchanged by id_a and again by id_b just to divide by two
+    # doubles (measured r6 at 600k docs: 118 MB + 128 MB pair exchanges for
+    # a 9.6 MB build side). Broadcast them explicitly while they fit
+    # (NORMS_BROADCAST_MAX_DOCS); beyond that the co-partition join is the
+    # only shape that scales and the planner's choice stands.
+    if n_docs is not None and n_docs <= NORMS_BROADCAST_MAX_DOCS:
+        na, nb = F.broadcast(na), F.broadcast(nb)
     return (
         dots.join(na, "id_a").join(nb, "id_b")
         .select("id_a", "id_b", (F.col("_dot") / (F.col("_na") * F.col("_nb"))).alias("tfidf_cosine"))

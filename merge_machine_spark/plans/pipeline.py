@@ -76,14 +76,18 @@ class ResolveConfig:
     jw_prefix: int = 96
     # Broadcast the per-doc feature payload (None = auto when n_docs small
     # enough); keeps token arrays/texts out of the pair shuffle. The payload
-    # runs ~0.5-1 KiB/doc (text prefix + token arrays), and the broadcast
-    # build is a SERIAL driver-side collect+serialize: measured on 180k docs
-    # it anchors the whole job (~60s core-count-independent; shuffle join is
-    # 2.8x faster at 8 cores and scales at ~0.9 efficiency). 100k docs
-    # ~= 64-100 MiB — the classic broadcast ceiling; beyond it the payload
-    # co-partitions through the pair shuffle instead.
+    # runs ~250 B/doc (96-char text prefix + distinct token arrays).
+    # r6 re-measured the trade at 600k docs with the payload built from the
+    # persisted analyzed cache: broadcast-both 8.3s vs co-partition 13.1s —
+    # the co-partition path ships the a-side payload THROUGH the id_b pair
+    # exchange (1.28 GB at 4.78M pairs, 10x the next-largest shuffle, guide
+    # §8), while the broadcast build off the cache is seconds, not the ~60s
+    # r4 measured when the build re-ran the un-persisted analyzer. 1M docs
+    # ~= 250 MiB per side — the guide's "few hundred MB is fine" broadcast
+    # range; beyond it the payload co-partitions through the pair shuffle
+    # instead (the only shape that scales to 10^9+ docs).
     broadcast_sides: bool | None = None
-    broadcast_max_docs: int = 100_000
+    broadcast_max_docs: int = 1_000_000
     n_docs_hint: int | None = None
 
 
