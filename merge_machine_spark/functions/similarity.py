@@ -146,10 +146,72 @@ def jaro_winkler_udf(a: pd.Series, b: pd.Series) -> pd.Series:  # pragma: no cov
     return pd.Series([jaro_winkler_py(x, y) for x, y in zip(a, b)], dtype="float64")
 
 
+def _jw_arrow_impl(aa, bb):  # pragma: no cover - exercised via Spark
+    """pyarrow.Array batch kernel: DuckDB reads the Arrow buffers zero-copy
+    and the result comes back as Arrow — no pandas object-string
+    materialization in either direction (guide §4.2). Same fallback chain
+    and bit-identical scores as the pandas path (same DuckDB function, same
+    null->\"\" coercion; parity pytest in test_native_sim.py)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    global _DUCK_CON
+    try:
+        if _DUCK_CON is None:
+            import duckdb
+
+            _DUCK_CON = duckdb.connect()
+            _DUCK_CON.execute("SET threads=1")  # see _duckdb_jw_batch
+            _DUCK_CON.execute("SET preserve_insertion_order=true")
+        tbl = pa.table({"a": pc.fill_null(aa, ""), "b": pc.fill_null(bb, "")})
+        _DUCK_CON.register("_jw_batch_arrow", tbl)
+        out = _DUCK_CON.execute(
+            "SELECT jaro_winkler_similarity(a, b) AS jw FROM _jw_batch_arrow"
+        ).arrow()
+        _DUCK_CON.unregister("_jw_batch_arrow")
+        col = out.column("jw").combine_chunks()
+        if isinstance(col, pa.ChunkedArray):
+            col = col.chunk(0) if col.num_chunks == 1 else pa.concat_arrays(col.chunks)
+        return col.cast(pa.float64())
+    except Exception:
+        pass
+    xs = ["" if x is None else x for x in aa.to_pylist()]
+    ys = ["" if y is None else y for y in bb.to_pylist()]
+    from .native_sim import have_native, jw_batch
+
+    if have_native():
+        return pa.array(jw_batch(xs, ys), type=pa.float64())
+    global _FALLBACK_WARNED
+    if not _FALLBACK_WARNED:
+        _FALLBACK_WARNED = True
+        import sys
+
+        print(
+            "merge_machine_spark: duckdb unavailable in this worker; "
+            "jaro_winkler falling back to the ~60x slower pure-Python kernel "
+            "(byte-parity verified). Install duckdb on executors for the fast path.",
+            file=sys.stderr,
+            flush=True,
+        )
+    return pa.array([jaro_winkler_py(x, y) for x, y in zip(xs, ys)], type=pa.float64())
+
+
+try:  # Spark 4.1+: vectorized Arrow UDF (pa.Array in/out, no pandas step)
+    jaro_winkler_arrow = F.arrow_udf(_jw_arrow_impl, DoubleType())
+except AttributeError:  # pragma: no cover - older Spark
+    jaro_winkler_arrow = None
+
+
 def jaro_winkler(a: Column | str, b: Column | str) -> Column:
-    """Arrow-batched Jaro-Winkler similarity in [0,1]."""
+    """Arrow-batched Jaro-Winkler similarity in [0,1]. Primary path is the
+    Arrow-native UDF (r6: 1.20s vs 1.73s for the pandas_udf on 4.78M
+    96-char pairs — the pandas path builds ~10M Python string objects just
+    to hand DuckDB data it could read zero-copy); the pandas_udf remains
+    for Spark without arrow_udf."""
     ca = F.col(a) if isinstance(a, str) else a
     cb = F.col(b) if isinstance(b, str) else b
+    if jaro_winkler_arrow is not None:
+        return jaro_winkler_arrow(ca, cb)
     return jaro_winkler_udf(ca, cb)
 
 

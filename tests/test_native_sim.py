@@ -125,3 +125,34 @@ def test_pair_levenshtein_top1_query_matches_jvm_formulation(spark):
         .collect()
     )
     assert got == exp and len(got) > 0
+
+
+def test_jw_arrow_udf_matches_pandas_udf(spark):
+    """The Arrow-native JW path (r6 primary) is bit-identical to the
+    pandas_udf path on mixed-length unicode incl. nulls and empties —
+    same DuckDB kernel, no pandas step."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from merge_machine_spark.functions import similarity as S
+
+    if S.jaro_winkler_arrow is None:
+        import pytest
+
+        pytest.skip("Spark without arrow_udf")
+    rng = random.Random(7)
+    rows = _cases(rng, "abcé日本語 xyz", 120)
+    rows += [(None, "abc"), ("abc", None), (None, None), ("", ""), ("", "x")]
+    df = spark.createDataFrame(rows, ["a", "b"])
+    got = [
+        r["jw"]
+        for r in df.select(S.jaro_winkler_arrow(F.col("a"), F.col("b")).alias("jw"))
+        .collect()
+    ]
+    exp = [
+        r["jw"]
+        for r in df.select(S.jaro_winkler_udf(F.col("a"), F.col("b")).alias("jw"))
+        .collect()
+    ]
+    assert got == exp and len(got) == len(rows)
