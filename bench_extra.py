@@ -310,6 +310,48 @@ def cc_isolation(spark, n_entities: int) -> None:
     print(json.dumps(out), flush=True)
 
 
+def er_shuffle_stages(spark, n_entities: int) -> None:
+    """Noise-immune plan evidence: materialize the full pair-scores DAG and
+    dump per-stage shuffle write totals via the UI REST API (the byte/record
+    totals are deterministic even when walls are stolen). Requires the
+    session to be built with spark.ui.enabled=true (this mode rebuilds it)."""
+    import json as _json
+    import time
+    import urllib.request
+
+    from pyspark.sql import functions as F
+
+    from merge_machine_spark.caching import release_tracked
+    from merge_machine_spark.functions.textproj import project_documents
+    from merge_machine_spark.plans.pipeline import ResolveConfig, _pair_scores
+    from merge_machine_spark.sources.session import get_spark
+    from merge_machine_spark.sources.synth import generate_documents
+
+    spark.stop()
+    spark = get_spark("bench_extra_shuffle", cores=int(os.environ.get("SPARK_GRAFT_CPUS", "32")),
+                      extra_conf={"spark.ui.enabled": "true", "spark.ui.port": "4077"})
+    cfg = ResolveConfig(threshold=0.45)
+    docs = generate_documents(spark, n_entities, seed=42).select("doc_id", "spans").persist()
+    docs.count()
+    proj = project_documents(docs, cfg.projections).cache()
+    n_docs = proj.count()
+    t0 = time.time()
+    spark.sparkContext.setJobDescription("shuffle:full_pair_scores")
+    _noop(_pair_scores(proj, cfg, n_docs))
+    print(f"full_pair_scores wall: {time.time()-t0:.2f}s", flush=True)
+    release_tracked()
+    app = _json.load(urllib.request.urlopen("http://localhost:4077/api/v1/applications"))[0]["id"]
+    stages = _json.load(urllib.request.urlopen(
+        f"http://localhost:4077/api/v1/applications/{app}/stages?status=complete"))
+    tot_w = sum(s["shuffleWriteRecords"] for s in stages)
+    tot_b = sum(s["shuffleWriteBytes"] for s in stages)
+    print(f"TOTAL shuffle write: {tot_w} records, {tot_b/1e6:.1f} MB over {len(stages)} stages", flush=True)
+    for s in sorted(stages, key=lambda s: -s["shuffleWriteRecords"])[:14]:
+        print(f"  stage {s['stageId']:>3} w_rec={s['shuffleWriteRecords']:>9} "
+              f"w_mb={s['shuffleWriteBytes']/1e6:8.1f} r_rec={s['shuffleReadRecords']:>9} "
+              f"t={s.get('executorRunTime', 0)/1000:7.1f}s", flush=True)
+
+
 def main() -> None:
     from merge_machine_spark.sources.session import get_spark
 
@@ -327,6 +369,8 @@ def main() -> None:
         er_join_isolation(spark, int(sys.argv[2]) if len(sys.argv) > 2 else 200_000)
     elif mode == "cc":
         cc_isolation(spark, int(sys.argv[2]) if len(sys.argv) > 2 else 200_000)
+    elif mode == "shuffle":
+        er_shuffle_stages(spark, int(sys.argv[2]) if len(sys.argv) > 2 else 200_000)
     else:
         raise SystemExit(f"unknown mode {mode}")
     spark.stop()

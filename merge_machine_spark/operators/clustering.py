@@ -87,13 +87,27 @@ def _small_star(edges: DataFrame, big: bool = False) -> DataFrame:
     )
 
 
-def _signature(edges: DataFrame) -> tuple[int, int]:
-    # decimal sum: overflow-proof under ANSI mode (Spark 4 default)
-    row = edges.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.coalesce(F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")), F.lit(0)).alias("h"),
+def _star_stats(edges: DataFrame) -> tuple[int, bool]:
+    """(edge count, is-star-forest) in one aggregate pass.
+
+    The alternating-star fixpoint is exactly a star forest stored
+    canonically (u=center=component min < v=leaf): every leaf appears in
+    ONE edge (countDistinct(v) == count) and no node is both a center and
+    a leaf (u-set and v-set disjoint, tested via |u|+|v| == |u ∪ v|).
+    Testing the shape directly replaces the r5 signature-equality check,
+    which could only observe convergence by running one full EXTRA
+    iteration to see "no change" (r6 — saves a whole star round)."""
+    both = edges.select(F.col("u").alias("x"), F.lit(0).alias("s")).unionAll(
+        edges.select(F.col("v").alias("x"), F.lit(1).alias("s"))
+    )
+    row = both.agg(
+        F.count(F.when(F.col("s") == 1, 1)).alias("n"),
+        F.countDistinct(F.when(F.col("s") == 1, F.col("x"))).alias("dv"),
+        F.countDistinct(F.when(F.col("s") == 0, F.col("x"))).alias("du"),
+        F.countDistinct("x").alias("duv"),
     ).collect()[0]
-    return int(row["n"]), int(row["h"])
+    n, dv, du, duv = int(row["n"]), int(row["dv"]), int(row["du"]), int(row["duv"])
+    return n, (dv == n) and (du + dv == duv)
 
 
 def connected_components(
@@ -103,20 +117,36 @@ def connected_components(
     max_iter: int = 50,
     checkpoint_dir: str | None = None,
     checkpoint_every: int = 3,
+    assume_canonical: bool = False,
 ) -> DataFrame:
     """(id_a, id_b) match edges -> (doc_id, cluster_id) assignments.
 
     cluster_id = min doc_id of the component. Singletons (docs with no edge)
     are NOT emitted — callers union them back with cluster_id = own id
     (cheaper than dragging every isolated doc through the iteration; at
-    10^12 docs singletons dominate and must never enter the shuffle)."""
+    10^12 docs singletons dominate and must never enter the shuffle).
+
+    ``assume_canonical`` (r6): skip the initial dedup exchange when the
+    caller guarantees edges are already distinct canonical pairs (a < b,
+    no self-loops) — true for the resolve() pipeline, whose pairs come out
+    of a groupBy. The iteration is dup-tolerant either way (the per-star
+    min aggregates ignore multiplicity and each iteration's trailing
+    distinct canonicalizes), so a wrong promise costs performance, not
+    correctness."""
     spark = edges.sparkSession
-    cur = _canon_edges(edges, a, b).localCheckpoint(eager=True)
-    sig = _signature(cur)
-    for it in range(max_iter):
-        # the signature already carries the current edge count for free —
-        # use it to pick the per-iteration join strategy (BIG_STAR_EDGES)
-        big = sig[0] >= BIG_STAR_EDGES
+    if assume_canonical:
+        cur = edges.select(F.col(a).alias("u"), F.col(b).alias("v"))
+    else:
+        cur = _canon_edges(edges, a, b)
+    cur = cur.localCheckpoint(eager=True)
+    n, done = _star_stats(cur)
+    it = 0
+    while not done:
+        if it >= max_iter:
+            raise RuntimeError(f"connected_components did not converge in {max_iter} iterations")
+        # edge count from the stats pass picks the per-iteration join
+        # strategy (BIG_STAR_EDGES)
+        big = n >= BIG_STAR_EDGES
         nxt = _small_star(_large_star(cur, big=big), big=big)
         if checkpoint_dir is not None and (it + 1) % checkpoint_every == 0:
             path = f"{checkpoint_dir}/cc_iter_{it:03d}"
@@ -124,13 +154,9 @@ def connected_components(
             nxt = spark.read.parquet(path)
         else:
             nxt = nxt.localCheckpoint(eager=True)
-        nsig = _signature(nxt)
         cur = nxt
-        if nsig == sig:
-            break
-        sig = nsig
-    else:
-        raise RuntimeError(f"connected_components did not converge in {max_iter} iterations")
+        n, done = _star_stats(cur)
+        it += 1
     # At fixpoint the edge set is a union of stars centered at each
     # component's minimum id, stored canonically as (u=root/min, v=leaf).
     roots = cur.select(F.col("u").alias("doc_id"), F.col("u").alias("cluster_id")).distinct()
@@ -196,7 +222,12 @@ def core_attach_clusters(
         F.col(score_col).alias("s"),
     ).filter(F.col("u") != F.col("v"))
     core = connected_components(
-        s.filter(F.col("s") >= F.lit(core_threshold)), a="u", b="v", checkpoint_dir=checkpoint_dir
+        s.filter(F.col("s") >= F.lit(core_threshold)), a="u", b="v",
+        checkpoint_dir=checkpoint_dir,
+        # scores are unique per (id_a < id_b) pair by construction
+        # (groupBy'd candidate generation), so the canonicalized projection
+        # is already distinct — skip the dedup exchange (r6)
+        assume_canonical=True,
     )
     # Each tier below is referenced by several downstream branches; eager
     # localCheckpoints (the same state-cutting device connected_components

@@ -224,7 +224,10 @@ def _resolve_body(spark, documents, cfg, store, checkpoint_dir, run_id, resume):
                 scores, cfg.core_threshold, cfg.threshold, checkpoint_dir=cc_dir
             )
         else:
-            assign = connected_components(edges, checkpoint_dir=cc_dir)
+            # candidate pairs come out of a groupBy with id_a < id_b, so
+            # the edge set is already distinct canonical — skip CC's dedup
+            # exchange (r6)
+            assign = connected_components(edges, checkpoint_dir=cc_dir, assume_canonical=True)
         return assignments_with_singletons(proj, assign)
 
     if store:
