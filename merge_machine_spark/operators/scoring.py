@@ -106,14 +106,22 @@ def tfidf_cosine_pairs(
         # the self-join's two sides AND the norm aggregate share this table;
         # without the persist Spark computes the explode+join subtree thrice.
         # Tracked so the plan-level caller unpersists it after materialization.
+        # EAGER count (r6): the three consumers launch as CONCURRENT stages,
+        # and a lazily-persisted table is evaluated independently by every
+        # stage that starts before its cache is filled — the stage table
+        # showed the wa subtree computed 3x (~110s combined executor time at
+        # 600k docs). One up-front materialization job makes every consumer
+        # a cache scan.
         wa = track(wa.persist())
+        wa.count()
     wb = wa if self_join else weighted(tokens_tf_b)
     # norms over the FULL vocabulary (pre-cap), like the reference's vector
     norms_a = wa.groupBy("id").agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("norm"))
     if self_join:
-        # referenced twice (id_a and id_b sides) — same no-subtree-reuse
-        # story as dfreq above; doc-sized (r6).
+        # referenced twice (id_a and id_b sides, two concurrent broadcast
+        # builds) — same cache-fill-race story as wa above; doc-sized (r6).
         norms_a = track(norms_a.persist())
+        norms_a.count()
     norms_b = norms_a if self_join else wb.groupBy("id").agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("norm"))
     if max_df is not None:
         keep = dfreq.filter(F.col("df") <= max_df).select("token")

@@ -114,3 +114,30 @@ def test_pairwise_f1_perfect_and_split(spark):
     )
     m2 = pairwise_f1(split, truth)
     assert m2["precision"] == 1.0 and m2["recall"] < 1.0
+
+
+def test_cc_assume_canonical_matches_default(spark):
+    """assume_canonical=True (r6: skips the initial dedup exchange) returns
+    the same assignments as the default path on a genuinely canonical edge
+    set, and stays CORRECT (just slower) when the promise is false — dup
+    edges, reversed order, self-loops are all absorbed by the first
+    iteration's trailing distinct."""
+    edges = [(a, b) for a, b in _random_edges(23) if a < b]
+    canon = sorted(set(edges))
+    df_canon = spark.createDataFrame(canon, ["id_a", "id_b"])
+    base = sorted(map(tuple, connected_components(df_canon).collect()))
+    fast = sorted(map(tuple, connected_components(df_canon, assume_canonical=True).collect()))
+    assert fast == base
+    dirty = canon + [(b, a) for a, b in canon[:10]] + canon[:5] + [("zz", "zz")]
+    df_dirty = spark.createDataFrame(dirty, ["id_a", "id_b"])
+    lied = sorted(map(tuple, connected_components(df_dirty, assume_canonical=True).collect()))
+    assert lied == base
+
+
+def test_cc_star_forest_input_converges_without_iterating(spark):
+    """An input that is already a star forest (the fixpoint form) must be
+    returned as-is by the direct star-forest convergence test (r6)."""
+    edges = [("a", "b"), ("a", "c"), ("a", "d"), ("m", "n")]
+    df = spark.createDataFrame(edges, ["id_a", "id_b"])
+    got = {r["doc_id"]: r["cluster_id"] for r in connected_components(df).collect()}
+    assert got == {"a": "a", "b": "a", "c": "a", "d": "a", "m": "m", "n": "m"}
