@@ -157,11 +157,15 @@ def connected_components(
         cur = nxt
         n, done = _star_stats(cur)
         it += 1
-    # At fixpoint the edge set is a union of stars centered at each
-    # component's minimum id, stored canonically as (u=root/min, v=leaf).
+    # The loop exits only when _star_stats PROVED the edge set is a star
+    # forest stored canonically (u=center=component min < v=leaf): every
+    # leaf appears exactly once and no node is both center and leaf. Each
+    # doc therefore appears exactly once in leaves ∪ distinct(centers) —
+    # the defensive groupBy(doc_id).min() the r5 extraction paid (one more
+    # exchange + aggregate over every clustered doc) is redundant (r6).
     roots = cur.select(F.col("u").alias("doc_id"), F.col("u").alias("cluster_id")).distinct()
     leaves = cur.select(F.col("v").alias("doc_id"), F.col("u").alias("cluster_id"))
-    return leaves.unionByName(roots).groupBy("doc_id").agg(F.min("cluster_id").alias("cluster_id"))
+    return leaves.unionByName(roots)
 
 
 def assignments_with_singletons(docs: DataFrame, assignments: DataFrame, id_col: str = "doc_id") -> DataFrame:
